@@ -1,0 +1,95 @@
+"""Single-pass per-partition column profiling.
+
+The reference needed three full passes (count at SeqFilesScan.java:284,
+reduceByKey at :297-316, plus debug counts) because RDD lineage recomputes.
+Here the whole profile — row counts, per-column null counts, min/max,
+approx distinct (HLL), and fixed-edge histograms for w/h/phash — is ONE
+``groupBy(part).agg(...)`` with partial+final hash aggregation: every
+statistic is a commutative partial aggregate, so the pass is
+treeAggregate-shaped and never materializes per-row state.
+
+Histogram edges are fixed and deterministic (FIXTURES.md §3) so drift
+comparisons are stable across partitionings and scale factors.
+
+Crucially, the profile never touches ``bytes`` — parquet column pruning
+keeps the scan to the narrow columns (verified in tests via the physical
+plan's ReadSchema).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class HistogramSpec:
+    """Fixed-width histogram: ``n_buckets`` buckets over [lo, hi); values
+    outside clamp to the edge buckets so counts always total n_rows."""
+
+    column: str
+    lo: float
+    hi: float
+    n_buckets: int = 16
+
+    def bucket_expr(self) -> Column:
+        width = (self.hi - self.lo) / self.n_buckets
+        raw = F.floor((F.col(self.column) - F.lit(self.lo)) / F.lit(width))
+        return F.least(F.lit(self.n_buckets - 1), F.greatest(F.lit(0), raw)).cast("int")
+
+    def hist_agg(self) -> Column:
+        bucket = self.bucket_expr()
+        counts = [
+            F.sum(F.when(bucket == b, F.lit(1)).otherwise(F.lit(0))).cast("long")
+            for b in range(self.n_buckets)
+        ]
+        return F.array(*counts).alias(f"{self.column}_hist")
+
+
+# default specs for the north-rule table; phash bucketed by its top 4 bits
+DEFAULT_HISTOGRAMS = (
+    HistogramSpec("w", 0.0, 128.0, 16),
+    HistogramSpec("h", 0.0, 128.0, 16),
+)
+PHASH_BUCKETS = 16
+
+
+def phash_hist_agg(n_buckets: int = PHASH_BUCKETS) -> Column:
+    # 60-bit phash -> top-4-bit bucket (deterministic, order-free)
+    bucket = F.shiftrightunsigned(F.col("phash"), 56).cast("int")
+    counts = [
+        F.sum(F.when(bucket == b, F.lit(1)).otherwise(F.lit(0))).cast("long")
+        for b in range(n_buckets)
+    ]
+    return F.array(*counts).alias("phash_hist")
+
+
+def profile_images(
+    images: DataFrame,
+    part_col: str = "part",
+    histograms: tuple[HistogramSpec, ...] = DEFAULT_HISTOGRAMS,
+) -> DataFrame:
+    """Per-partition profile DataFrame — one row per partition, one pass.
+
+    Columns: n_rows, null_<col> for every non-part column, min/max/avg of
+    w+h, approx-distinct fmt & phash (HLL, per north_rule), histograms.
+    """
+    stat_cols = [c for c in images.columns if c != part_col]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    aggs += [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}")
+        for c in stat_cols
+        if c != "bytes"  # bytes nullness via IS NULL would force reading the blob column
+    ]
+    for c in ("w", "h"):
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    aggs += [
+        F.approx_count_distinct("fmt").alias("distinct_fmt_est"),
+        F.approx_count_distinct("phash").alias("distinct_phash_est"),
+        F.approx_count_distinct("image_id").alias("distinct_image_id_est"),
+    ]
+    aggs += [spec.hist_agg() for spec in histograms]
+    aggs.append(phash_hist_agg())
+    return images.groupBy(part_col).agg(*aggs)
