@@ -1,0 +1,419 @@
+"""Relational core: aggregations, joins, windows, sorts, set ops.
+
+Covers the reference's operator inventory A1-A8/O1-O7 (SURVEY.md §2) on the
+driver's TPC-H-ish tables, plus the join/window operators the north_rule
+adds. Money flows through DECIMAL(18,2) on both engines so sums are exact;
+ratios are rounded; percents use integer division (the reference's
+CommonUtils.java:245-251 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from schema_inference_spark.queries import QuerySpec
+from schema_inference_spark.sources.tables import load_table
+
+
+def _dec(col):
+    return F.col(col).cast("decimal(18,2)")
+
+
+# --- A1-A4 analog: hash agg with partial aggregation + decimal exactness ---
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            ).cast("decimal(30,4)").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- 3-way join + top-k by aggregate (broadcast dims, TakeOrderedAndProject) ---
+
+
+def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
+            .cast("decimal(30,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- semi join (EXISTS) ---
+
+
+def orders_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01")
+    )
+    return (
+        orders.join(li.select("l_orderkey").distinct(), orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+LATE_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- anti join (referential orphans, north_rule §2.4) ---
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select("o_custkey").distinct(), cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+NO_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --- duplicate-key detection (uniqueness-check shape, inverted A1) ---
+
+
+def parts_with_many_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .where(F.col("n_suppliers") > 3)
+        .orderBy("l_partkey")
+    )
+
+
+MANY_SUPP_SQL = """
+SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem GROUP BY l_partkey HAVING count(DISTINCT l_suppkey) > 3
+ORDER BY l_partkey
+"""
+
+
+# --- window: top-k per group (deterministic tie-break) ---
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", _dec("o_totalprice").alias("totalprice"))
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+TOP_PER_SEG_SQL = """
+SELECT c_mktsegment, rn, o_orderkey, totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice::DECIMAL(18,2) AS totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+"""
+
+
+# --- percent-of-total (A3 semantics: integer division) ---
+
+
+def priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("o_orderpriority", "n", F.expr("n * 100 DIV _t").alias("percent"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_SHARE_SQL = """
+WITH counts AS (SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, n, (n * 100) // (SELECT sum(n) FROM counts) AS percent
+FROM counts ORDER BY o_orderpriority
+"""
+
+
+# --- exact distinct counts per group (A1/A2) ---
+
+
+def distinct_parts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- fixed-edge histogram (profile-pass primitive) ---
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.lit(15), F.greatest(F.lit(0), F.floor(F.col("l_extendedprice") / 7000.0))).cast(
+        "int"
+    )
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+HIST_SQL = """
+SELECT least(15, greatest(0, floor(l_extendedprice / 7000.0)))::INT AS bucket, count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY bucket
+"""
+
+
+# --- drift (PSI) fully in SQL: first-half vs second-half of lineitem ---
+
+
+def quantity_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (F.col("l_quantity").cast("int") - 1).alias("bucket")
+    side = (F.col("l_orderkey") % 2 == 0).alias("side_a")
+    h = (
+        li.select(bucket, side)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("side_a"), 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("side_a"), 0).otherwise(1)).alias("cnt_b"),
+        )
+    )
+    tot = h.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
+    return (
+        h.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                ((F.col("cnt_a") + 0.5) / (F.col("ta") + 25.0)
+                 - (F.col("cnt_b") + 0.5) / (F.col("tb") + 25.0))
+                * F.log(
+                    ((F.col("cnt_a") + 0.5) / (F.col("ta") + 25.0))
+                    / ((F.col("cnt_b") + 0.5) / (F.col("tb") + 25.0))
+                ),
+                8,
+            ).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+PSI_SQL = """
+WITH h AS (
+  SELECT (l_quantity::INT - 1) AS bucket,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS cnt_a,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS cnt_b
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM h)
+SELECT bucket,
+       round(((cnt_a + 0.5) / (ta + 25.0) - (cnt_b + 0.5) / (tb + 25.0))
+             * ln(((cnt_a + 0.5) / (ta + 25.0)) / ((cnt_b + 0.5) / (tb + 25.0))), 8) AS psi_term
+FROM h, tot ORDER BY bucket
+"""
+
+
+# --- time windows (streaming-equivalent batch agg; epoch output for parity) ---
+
+
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).alias("sum_value"),
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+HOURLY_SQL = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
+"""
+
+
+# --- sessionization: gaps-and-islands via lag + running sum ---
+
+
+def user_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- multi-column sort + limit (O2/O6) ---
+
+
+def event_sample_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy("event_type", F.desc("value"), "event_id")
+        .limit(100)
+        .select("event_id", "event_type", _dec("value").alias("value"))
+    )
+
+
+SORTED_SQL = """
+SELECT event_id, event_type, value::DECIMAL(18,2) AS value
+FROM events ORDER BY event_type, value DESC, event_id LIMIT 100
+"""
+
+
+# --- null-fraction profile (stats-pass primitive) ---
+
+
+def event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("null_props"),
+        F.min(_dec("value")).alias("min_value"),
+        F.max(_dec("value")).alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).orderBy("event_type")
+
+
+EVENT_PROFILE_SQL = """
+SELECT event_type, count(*) AS n_rows,
+       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+       min(value::DECIMAL(18,2)) AS min_value, max(value::DECIMAL(18,2)) AS max_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+SPECS = [
+    QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL, "A1-A4: grouped agg, decimal-exact"),
+    QuerySpec("q3_topk_revenue", q3_topk_revenue, Q3_SQL, "3-way join + top-k"),
+    QuerySpec("orders_with_late_lines", orders_with_late_lines, LATE_SQL, "left-semi join"),
+    QuerySpec("customers_without_orders", customers_without_orders, NO_ORDERS_SQL, "anti join"),
+    QuerySpec("parts_with_many_suppliers", parts_with_many_suppliers, MANY_SUPP_SQL, "dup keys"),
+    QuerySpec("top_orders_per_segment", top_orders_per_segment, TOP_PER_SEG_SQL, "window top-k"),
+    QuerySpec("priority_share", priority_share, PRIORITY_SHARE_SQL, "percent-of-total"),
+    QuerySpec("distinct_parts_by_flag", distinct_parts_by_flag, DISTINCT_SQL, "exact distinct"),
+    QuerySpec("price_histogram", price_histogram, HIST_SQL, "fixed-edge histogram"),
+    QuerySpec("quantity_drift_psi", quantity_drift_psi, PSI_SQL, "PSI drift in SQL"),
+    QuerySpec("hourly_event_windows", hourly_event_windows, HOURLY_SQL, "time windows"),
+    QuerySpec("user_session_counts", user_session_counts, SESSION_SQL, "sessionization"),
+    QuerySpec("event_sample_sorted", event_sample_sorted, SORTED_SQL, "multi-col sort+limit"),
+    QuerySpec("event_profile", event_profile, EVENT_PROFILE_SQL, "null-fraction profile"),
+]
