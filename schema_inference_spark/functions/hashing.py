@@ -1,0 +1,131 @@
+"""Cross-engine deterministic hashing, shingling, MinHash and SimHash.
+
+All hashes derive from md5 (available and bit-identical in Spark and
+DuckDB): the top 15 hex chars -> 60-bit non-negative bigint. That keeps
+every dedup operator oracle-checkable — the DuckDB SQL computes the exact
+same signatures.
+
+At scale all of these are single-projection + hash-agg shapes: shingling
+and hashing are per-row array expressions (JVM codegen, no Python), and
+dedup candidates come from groupBy on signatures (partial agg, skew-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# --- 60-bit md5 hash -------------------------------------------------------
+
+
+def md5_long_expr(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_long_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# --- word shingles ---------------------------------------------------------
+
+
+def words_expr(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+def shingles_expr(col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string>; empty array when fewer than k words."""
+    words = words_expr(col)
+    return F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(expr: str, k: int = 3) -> str:
+    words = f"string_split({expr}, ' ')"
+    return (
+        f"CASE WHEN len({words}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({words}) - {k - 1}), "
+        f"i -> array_to_string(list_slice({words}, i, i + {k - 1}), ' ')) "
+        f"ELSE [] END"
+    )
+
+
+# --- MinHash ---------------------------------------------------------------
+
+
+def minhash_expr(col: Column, seed: int, k: int = 3) -> Column:
+    """One MinHash permutation: min over shingles of md5(seed || ':' || shingle)."""
+    hashed = F.transform(
+        shingles_expr(col, k),
+        lambda s: F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    return F.array_min(hashed)
+
+
+def minhash_sql(expr: str, seed: int, k: int = 3) -> str:
+    return (
+        f"list_min(list_transform({shingles_sql(expr, k)}, "
+        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT))"
+    )
+
+
+def minhash_signature_exprs(col: Column, n_perm: int = 8, k: int = 3) -> list[Column]:
+    return [minhash_expr(col, seed, k).alias(f"mh{seed}") for seed in range(n_perm)]
+
+
+# --- SimHash ---------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_bit_balance_aggs(n_bits: int = SIMHASH_BITS) -> list[Column]:
+    """Aggregates over an exploded (doc_id, token_hash) frame: per-bit
+    balance = sum(+1 if bit set else -1). Partial-aggregatable."""
+    return [
+        F.sum(
+            F.when((F.shiftright(F.col("token_hash"), b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+        ).alias(f"bal{b}")
+        for b in range(n_bits)
+    ]
+
+
+def simhash_from_balances(n_bits: int = SIMHASH_BITS) -> Column:
+    """Combine per-bit balances into the fingerprint int (bit b set iff
+    balance >= 0 — ties resolve to 1 deterministically)."""
+    acc = F.lit(0).cast("bigint")
+    for b in range(n_bits):
+        acc = acc + F.when(F.col(f"bal{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return acc
+
+
+def simhash_sql(n_bits: int = SIMHASH_BITS) -> tuple[str, str]:
+    """(per-bit balance select list, fingerprint expr over those balances)."""
+    balances = ", ".join(
+        f"sum(CASE WHEN (token_hash >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS bal{b}"
+        for b in range(n_bits)
+    )
+    fp = " + ".join(f"(CASE WHEN bal{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits))
+    return balances, f"({fp})::BIGINT"
+
+
+def hamming_distance_expr(a: Column, b: Column, n_bits: int = SIMHASH_BITS) -> Column:
+    x = a.bitwiseXOR(b)
+    terms = [F.shiftright(x, i).bitwiseAND(F.lit(1)) for i in range(n_bits)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def hamming_distance_sql(a: str, b: str, n_bits: int = SIMHASH_BITS) -> str:
+    return "(" + " + ".join(f"((({a}) # ({b})) >> {i}) & 1" for i in range(n_bits)) + ")"

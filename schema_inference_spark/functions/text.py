@@ -1,0 +1,138 @@
+"""Text analysis for training-data pipelines: tokenization, quality scoring,
+language ID, fingerprinting.
+
+All of these are pure column expressions (JVM-side) with matching DuckDB SQL
+so they stay oracle-checkable; at 100 TB they run inside the same
+single-pass projection as the rest of the profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# minimal per-language stopword profiles (public common-word lists)
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "de", "del", "para"),
+}
+
+
+def token_count_expr(col: Column) -> Column:
+    """Whitespace token count (0 for empty/null-safe via trim check)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length(trim({expr})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({expr}), '\\s+')) END"
+    )
+
+
+_SUBWORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count_expr(col: Column) -> Column:
+    """Sub-word-ish token count: alpha runs, digit runs, and single punct
+    marks (a cheap RE2-compatible stand-in for BPE token counting)."""
+    return F.size(F.regexp_extract_all(col, F.lit(_SUBWORD_RE), F.lit(0)))
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{_SUBWORD_RE}'))"
+
+
+def stopword_count_expr(col: Column, lang: str = "en") -> Column:
+    words = F.split(F.lower(col), r"\s+")
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words, lambda t: t.isin(*sw)))
+
+
+def stopword_count_sql(expr: str, lang: str = "en") -> str:
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower({expr}), '\\s+'), "
+        f"t -> t IN ({sw})))"
+    )
+
+
+def quality_score_expr(col: Column) -> Column:
+    """Heuristic quality in [0,1]: blend of length band, stopword ratio and
+    alpha ratio (rounded to 4 decimals; identical formula in SQL)."""
+    n_tok = token_count_expr(col).cast("double")
+    n_stop = stopword_count_expr(col).cast("double")
+    n_alpha = F.length(F.regexp_replace(col, r"[^a-zA-Z]", "")).cast("double")
+    n_chars = F.greatest(F.length(col).cast("double"), F.lit(1.0))
+    len_band = F.when((n_tok >= 10) & (n_tok <= 1000), 1.0).otherwise(0.5)
+    stop_ratio = F.least(F.lit(1.0), n_stop / F.greatest(n_tok, F.lit(1.0)) * 5.0)
+    alpha_ratio = n_alpha / n_chars
+    return F.round((len_band + stop_ratio + alpha_ratio) / 3.0, 4)
+
+
+def quality_score_sql(expr: str) -> str:
+    n_tok = f"({token_count_sql(expr)})::DOUBLE"
+    n_stop = f"({stopword_count_sql(expr)})::DOUBLE"
+    n_alpha = f"length(regexp_replace({expr}, '[^a-zA-Z]', '', 'g'))::DOUBLE"
+    n_chars = f"greatest(length({expr})::DOUBLE, 1.0)"
+    len_band = f"(CASE WHEN {n_tok} BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)"
+    stop_ratio = f"least(1.0, {n_stop} / greatest({n_tok}, 1.0) * 5.0)"
+    alpha_ratio = f"({n_alpha} / {n_chars})"
+    return f"round(({len_band} + {stop_ratio} + {alpha_ratio}) / 3.0, 4)"
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Stopword-profile language ID: argmax of per-language stopword hits
+    (ties resolve by language-code order; 'und' when no profile hits)."""
+    words = F.split(F.lower(col), r"\s+")
+
+    def _hits(sw: tuple[str, ...]) -> Column:
+        return F.size(F.filter(words, lambda t: t.isin(*sw)))
+
+    scores = [(lang, _hits(sw)) for lang, sw in sorted(STOPWORDS.items())]
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores:  # strict > keeps earlier (alphabetical) lang on ties
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best
+
+
+def lang_id_sql(expr: str) -> str:
+    """Same argmax as lang_id_expr, expressed with chained CASE updates."""
+    langs = sorted(STOPWORDS.items())
+
+    def hits(sw):
+        in_list = ", ".join(f"'{w}'" for w in sw)
+        return (
+            f"len(list_filter(regexp_split_to_array(lower({expr}), '\\s+'), "
+            f"t -> t IN ({in_list})))"
+        )
+
+    best, best_score = "'und'", "0"
+    for lang, sw in langs:
+        h = hits(sw)
+        best = f"(CASE WHEN {h} > {best_score} THEN '{lang}' ELSE {best} END)"
+        best_score = f"(CASE WHEN {h} > {best_score} THEN {h} ELSE {best_score} END)"
+    return best
+
+
+def fingerprint_expr(col: Column, k: int = 4) -> Column:
+    """Document fingerprint: min 60-bit hash over k-word shingles (the
+    1-permutation MinHash — a content-defined fingerprint robust to
+    reordering of distant parts)."""
+    from schema_inference_spark.functions.hashing import minhash_expr
+
+    return minhash_expr(col, seed=997, k=k)
+
+
+def fingerprint_sql(expr: str, k: int = 4) -> str:
+    from schema_inference_spark.functions.hashing import minhash_sql
+
+    return minhash_sql(expr, seed=997, k=k)

@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each chosen for a different scale/recall tradeoff:
+
+* **exact** — md5-of-content groupBy. One shuffle of (hash, id); partial
+  agg makes hot content cheap.
+* **MinHash + LSH** — per-row signature (pure array exprs over shingles),
+  banded bucketing, candidate pairs from bucket self-joins, optional exact
+  Jaccard verification of candidates. The standard near-dup pipeline at
+  web scale: O(n) signature pass + bucket-local joins instead of O(n^2).
+* **SimHash** — per-token hashed bit votes aggregated into a fingerprint;
+  near-pairs by Hamming distance within blocking buckets.
+* **n-gram Jaccard** — the exact verifier used on LSH candidates (never run
+  all-pairs at scale).
+
+Everything is expressed with built-in exprs + hash aggregations; the DuckDB
+oracles in catalog_text.py compute identical signatures (shared md5-based
+hashing in functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from schema_inference_spark.functions.hashing import (
+    SIMHASH_BITS,
+    hamming_distance_expr,
+    md5_long_expr,
+    minhash_signature_exprs,
+    shingles_expr,
+    simhash_bit_balance_aggs,
+    simhash_from_balances,
+)
+
+
+def exact_duplicate_groups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """(content_hash, n_dups, ids) for content appearing more than once."""
+    hashed = df.select(md5_long_expr(F.col(content_col)).alias("content_hash"), id_col)
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_perm: int = 8, k: int = 3
+) -> DataFrame:
+    return df.select(id_col, *minhash_signature_exprs(F.col(text_col), n_perm, k))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash buckets.
+
+    One signature projection, one explode to (band_id, band_sig, id), one
+    self-join per bucket. Bucket sizes are bounded in practice; a hot
+    bucket (e.g. boilerplate docs) is exactly a skew join — AQE splits it.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n_perm, k)
+    n_bands = n_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    ",", *[F.col(f"mh{b * band_size + i}") for i in range(band_size)]
+                ).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = (
+        sig.select(id_col, F.explode(bands).alias("band"))
+        .select(id_col, "band.band_id", "band.band_sig")
+        .where(F.col("band_sig").isNotNull() & (F.col("band_sig") != ""))
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs; keeps pairs >= threshold.
+
+    Shingle sets are exploded once and joined twice (ids are pre-filtered to
+    candidate members, so the explode touches only candidate docs)."""
+    member_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingles = (
+        df.join(F.broadcast(member_ids), id_col, "left_semi")
+        .select(id_col, F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    s1 = shingles.withColumnRenamed(id_col, "id_a")
+    s2 = shingles.withColumnRenamed(id_col, "id_b")
+    inter = (
+        candidates.join(s1, "id_a")
+        .join(s2, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a")
+    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Per-document SimHash fingerprint via exploded token votes.
+
+    The explode -> groupBy(id) shape partial-aggregates the bit balances
+    map-side; fingerprints assemble from the 16 balance sums."""
+    tokens = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    hashed = tokens.select(id_col, md5_long_expr(F.col("token")).alias("token_hash"))
+    balances = hashed.groupBy(id_col).agg(*simhash_bit_balance_aggs(n_bits))
+    return balances.select(id_col, simhash_from_balances(n_bits).alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    max_hamming: int = 2,
+    n_bits: int = SIMHASH_BITS,
+    block_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    Blocking: pairs must agree on the top ``block_bits`` bits (both
+    half-band blocks), so the self-join is bucket-local, not all-pairs —
+    the standard rotate-and-block SimHash scheme reduced to two blocks for
+    16-bit fingerprints."""
+    lo = F.col("simhash").bitwiseAND(F.lit((1 << block_bits) - 1))
+    hi = F.shiftright("simhash", n_bits - block_bits)
+    fp = fingerprints.withColumn("blk_lo", lo).withColumn("blk_hi", hi)
+    a, b = fp.alias("a"), fp.alias("b")
+    pair_filter = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    def _pairs(joined):
+        return joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+
+    by_lo = _pairs(a.join(b, (F.col("a.blk_lo") == F.col("b.blk_lo")) & pair_filter))
+    by_hi = _pairs(a.join(b, (F.col("a.blk_hi") == F.col("b.blk_hi")) & pair_filter))
+    cand = by_lo.unionByName(by_hi).distinct()
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming_distance_expr(F.col("sh_a"), F.col("sh_b"), n_bits).alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming)

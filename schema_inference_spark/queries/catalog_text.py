@@ -1,1 +1,181 @@
-SPECS: list = []  # filled in the text/dedup milestone
+"""Text-analysis + dedup queries over ``documents``, each with a DuckDB
+oracle computing the identical md5-derived signatures (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schema_inference_spark.functions import text as TX
+from schema_inference_spark.functions.hashing import (
+    md5_long_sql,
+    minhash_sql,
+    simhash_sql,
+)
+from schema_inference_spark.operators.dedup import (
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from schema_inference_spark.queries import QuerySpec
+from schema_inference_spark.sources.tables import load_table
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count_expr(F.col("text"))).alias("total_tokens"),
+            F.sum(TX.bpe_ish_token_count_expr(F.col("text"))).alias("total_subword_tokens"),
+            F.round(F.avg(TX.token_count_expr(F.col("text"))), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       sum({TX.token_count_sql('text')}) AS total_tokens,
+       sum({TX.bpe_ish_token_count_sql('text')}) AS total_subword_tokens,
+       round(avg({TX.token_count_sql('text')}), 4) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(TX.quality_score_expr(F.col("text"))), 4).alias("avg_quality"),
+            F.round(F.min(TX.quality_score_expr(F.col("text"))), 4).alias("min_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       round(avg({TX.quality_score_sql('text')}), 4) AS avg_quality,
+       round(min({TX.quality_score_sql('text')}), 4) AS min_quality
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.lang_id_expr(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("predicted_lang")
+    )
+
+
+LANG_ID_SQL = f"""
+SELECT {TX.lang_id_sql('text')} AS predicted_lang, count(*) AS n
+FROM documents GROUP BY 1 ORDER BY predicted_lang
+"""
+
+
+def doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_duplicate_groups(docs, "text", "doc_id")
+        .select("content_hash", "n_dups")
+        .orderBy("content_hash")
+    )
+
+
+EXACT_DUPS_SQL = f"""
+SELECT {md5_long_sql('text')} AS content_hash, count(*) AS n_dups
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.fingerprint_expr(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id, {TX.fingerprint_sql('text')} AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", n_perm=4).orderBy("doc_id")
+
+
+MINHASH_SQL = f"""
+SELECT doc_id,
+       {minhash_sql('text', 0)} AS mh0, {minhash_sql('text', 1)} AS mh1,
+       {minhash_sql('text', 2)} AS mh2, {minhash_sql('text', 3)} AS mh3
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", "text", n_perm=4, band_size=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+LSH_CAND_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {minhash_sql('text', 0)} AS mh0, {minhash_sql('text', 1)} AS mh1,
+         {minhash_sql('text', 2)} AS mh2, {minhash_sql('text', 3)} AS mh3
+  FROM documents
+), buckets AS (
+  SELECT doc_id, 0 AS band_id, mh0::VARCHAR || ',' || mh1::VARCHAR AS band_sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, mh2::VARCHAR || ',' || mh3::VARCHAR AS band_sig FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+WHERE a.band_sig IS NOT NULL AND a.band_sig != ''
+ORDER BY id_a, id_b
+"""
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_BALANCES, _FP = simhash_sql()
+SIMHASH_Q_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id, {md5_long_sql('token')} AS token_hash FROM tokens WHERE token != ''
+), balances AS (
+  SELECT doc_id, {_BALANCES} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {_FP} AS simhash FROM balances ORDER BY doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("doc_token_stats", doc_token_stats, TOKEN_STATS_SQL, "token counting"),
+    QuerySpec("doc_quality_by_source", doc_quality_by_source, QUALITY_SQL, "quality scoring"),
+    QuerySpec("doc_lang_id", doc_lang_id, LANG_ID_SQL, "language-ID heuristic"),
+    QuerySpec("doc_exact_dups", doc_exact_dups, EXACT_DUPS_SQL, "exact dedup"),
+    QuerySpec("doc_fingerprints", doc_fingerprints, FINGERPRINT_SQL, "doc fingerprinting"),
+    QuerySpec("doc_minhash_signatures", doc_minhash_signatures, MINHASH_SQL, "MinHash"),
+    QuerySpec("doc_lsh_candidates", doc_lsh_candidates, LSH_CAND_SQL, "MinHash-LSH pairs"),
+    QuerySpec("doc_simhash", doc_simhash, SIMHASH_Q_SQL, "SimHash fingerprints"),
+]

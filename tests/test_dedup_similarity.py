@@ -1,0 +1,119 @@
+"""Dedup + similarity behavior on planted near-duplicates (the driver's
+documents table has no dups, so recall is exercised here)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_inference_spark.operators.dedup import (
+    exact_duplicate_groups,
+    jaccard_verified_pairs,
+    lsh_candidate_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from schema_inference_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+
+def _doc(rng: random.Random, n: int = 40) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    rng = random.Random(42)
+    rows = []
+    for i in range(60):
+        rows.append((f"d{i:03d}", _doc(rng)))
+    # exact dup pair
+    rows.append(("d900", rows[0][1]))
+    # near dup: change 2 words out of 40 of doc d001
+    base = rows[1][1].split()
+    base[5], base[20] = "zulu", "yankee"
+    rows.append(("d901", " ".join(base)))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_duplicates(doc_df):
+    groups = exact_duplicate_groups(doc_df, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["ids"] == ["d000", "d900"]
+
+
+def test_lsh_finds_planted_near_dups(doc_df):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(doc_df, "doc_id", "text", n_perm=8, band_size=2).collect()
+    }
+    assert ("d000", "d900") in cands  # exact dup always collides
+    assert ("d001", "d901") in cands  # 95%-similar docs collide in >=1 band
+
+
+def test_jaccard_verification_scores(spark, doc_df):
+    cands = lsh_candidate_pairs(doc_df, "doc_id", "text", n_perm=8, band_size=2)
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_verified_pairs(doc_df, cands, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert verified[("d000", "d900")] == 1.0
+    assert 0.5 <= verified[("d001", "d901")] < 1.0
+    # random-doc pairs must not be verified at 0.5
+    assert all(a in ("d000", "d001") for a, _ in verified)
+
+
+def test_simhash_near_pairs(doc_df):
+    fps = simhash_fingerprints(doc_df, "doc_id", "text")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(fps, "doc_id", max_hamming=3).collect()
+    }
+    assert pairs[("d000", "d900")] == 0  # identical docs -> identical fingerprints
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in v], i % 3))
+    # planted near-dup of vec 5 (tiny perturbation), same label
+    v5 = list(rows[5][1])
+    v5[0] += 0.01
+    rows.append((500, v5, 5 % 3))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_self_and_near(emb_df):
+    q = [float(x) for x in emb_df.where(F.col("vec_id") == 5).collect()[0]["embedding"]]
+    top = cosine_topk(emb_df, q, k=3).collect()
+    assert top[0]["vec_id"] == 5 and abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+    assert top[1]["vec_id"] == 500 and top[1]["cosine_sim"] > 0.999
+
+
+def test_lsh_topk_contains_near_dup(emb_df):
+    # 16-dim vectors: use dims that exist
+    q = [float(x) for x in emb_df.where(F.col("vec_id") == 5).collect()[0]["embedding"]]
+    from schema_inference_spark.operators import similarity as S
+
+    bucketed = S.sign_lsh_buckets(emb_df).where(
+        S.sign_lsh_bucket_expr(F.col("embedding"), dims=(1, 3, 5, 7))
+        == S.sign_lsh_bucket_expr(F.array(*[F.lit(v) for v in q]), dims=(1, 3, 5, 7))
+    )
+    top = cosine_topk(bucketed, q, k=2).collect()
+    assert [r["vec_id"] for r in top] == [5, 500]
+
+
+def test_embedding_near_dup_pairs(emb_df):
+    pairs = embedding_near_dup_pairs(emb_df, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(5, 500)}

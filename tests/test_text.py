@@ -1,0 +1,58 @@
+"""Text-analysis functions on synthetic multilingual fixtures (the driver's
+documents table carries language labels but shares one vocabulary, so real
+language separation is exercised here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_inference_spark.functions import text as TX
+
+FIXTURES = [
+    ("en", "the cat sat on the mat and looked to the window for a while"),
+    ("de", "der hund und die katze sind mit dem ball zu den kindern gelaufen"),
+    ("fr", "le chien et le chat sont dans la maison pour la nuit et le jour"),
+    ("es", "el perro y el gato están en la casa para la noche y el día"),
+    ("und", "zzz qqq xxx yyy www"),
+]
+
+
+def test_lang_id_separates_languages(spark):
+    df = spark.createDataFrame(FIXTURES, "expected string, text string")
+    got = {
+        r["expected"]: r["pred"]
+        for r in df.select("expected", TX.lang_id_expr(F.col("text")).alias("pred")).collect()
+    }
+    assert got == {lang: lang for lang, _ in FIXTURES}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("one-token",), ("don't stop, now!",)], "text string"
+    )
+    rows = df.select(
+        TX.token_count_expr(F.col("text")).alias("ws"),
+        TX.bpe_ish_token_count_expr(F.col("text")).alias("sub"),
+    ).collect()
+    assert [r["ws"] for r in rows] == [3, 0, 0, 1, 3]
+    # "don't stop, now!" -> don ' t stop , now !  = 7 subword tokens
+    assert rows[4]["sub"] == 7
+    assert rows[3]["sub"] == 3  # one - token
+
+
+def test_quality_score_ranges(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills again"
+    bad = "!!! ### 123 $$$ %%%"
+    df = spark.createDataFrame([(good,), (bad,)], "text string")
+    rows = df.select(TX.quality_score_expr(F.col("text")).alias("q")).collect()
+    assert rows[0]["q"] > 0.8
+    assert rows[1]["q"] < 0.4
+
+
+def test_fingerprint_stability_and_sensitivity(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    df = spark.createDataFrame([(base,), (base,), (base + " extra",)], "text string")
+    rows = [r["fp"] for r in df.select(TX.fingerprint_expr(F.col("text")).alias("fp")).collect()]
+    assert rows[0] == rows[1]  # deterministic
+    # appending text can only add shingles -> fingerprint (min-hash) <= original
+    assert rows[2] <= rows[0]
