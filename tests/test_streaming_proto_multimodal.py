@@ -1,0 +1,138 @@
+"""Streaming/batch equivalence, proto emission, multimodal plumbing."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_inference_spark.datagen import codec
+from schema_inference_spark.multimodal.stubs import (
+    extract_image_features,
+    frame_concat,
+    resize_images,
+    sample_video_frames,
+)
+from schema_inference_spark.operators.proto import (
+    concat_proto_files,
+    proto_hierarchy,
+    proto_lines_df,
+)
+
+
+def test_streaming_equals_batch(spark, sf_dir):
+    from schema_inference_spark.queries.catalog_core import hourly_event_windows
+    from schema_inference_spark.queries.catalog_images import streaming_hourly_windows
+
+    batch = {tuple(r) for r in hourly_event_windows(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in streaming_hourly_windows(spark, sf_dir).collect()}
+    assert batch == stream and len(batch) > 0
+
+
+def test_streaming_validation_foreachbatch(spark):
+    from schema_inference_spark.datagen.images import generate_image_corpus, images_spark_df
+    from schema_inference_spark.plans.checkpoint import write_checkpoint
+    from schema_inference_spark.plans.validation import run_validation
+    from schema_inference_spark.streaming.validate_stream import validate_stream
+
+    corpus = generate_image_corpus(400, n_parts=2)
+    images, captions = images_spark_df(spark, corpus)
+    with tempfile.TemporaryDirectory() as d:
+        images.write.mode("overwrite").parquet(f"{d}/in")
+        stream = spark.readStream.schema(images.schema).parquet(f"{d}/in")
+        q = validate_stream(
+            stream,
+            captions,
+            checkpoint_path=f"{d}/ckpt",
+            run_validation_fn=run_validation,
+            checkpoint_fn=write_checkpoint,
+            checkpoint_location=f"{d}/stream_ck",
+        )
+        q.awaitTermination(120)
+        ckpt = spark.read.parquet(f"{d}/ckpt")
+        rows = ckpt.collect()
+        assert {r["part"] for r in rows} == {0, 1}
+        assert all(r["run_id"].startswith("stream-epoch-") for r in rows)
+
+
+NESTED = {
+    "type": "object",
+    "properties": {
+        "ts": {"type": "integer"},
+        "killer": {
+            "type": "object",
+            "properties": {"id": {"type": "integer"}, "score": {"type": "number"}},
+        },
+        "assists": {"type": "array", "items": {"type": "object", "properties": {"id": {"type": "integer"}}}},
+        "tags": {"type": "array", "items": {"type": "string"}},
+    },
+}
+
+
+def test_proto_hierarchy_semantics():
+    h = proto_hierarchy(NESTED, root="Event")
+    assert h["Event"]["ts"] == "int32"
+    assert h["Event"]["killer"] == "EventKiller"
+    assert h["Event"]["assists"] == "repeated EventAssists"
+    assert h["Event"]["tags"] == "repeated string"
+    assert h["EventKiller"] == {"id": "int32", "score": "float"}
+    assert h["EventAssists"] == {"id": "int32"}
+
+
+def test_proto_concat_order_safe(spark):
+    h = proto_hierarchy(NESTED, root="Event")
+    lines = proto_lines_df(spark, h).repartition(7)  # scramble partitioning
+    files = {r["file_name"]: r["content"] for r in concat_proto_files(lines).collect()}
+    ev = files["Event.proto"].splitlines()
+    assert ev[0] == 'syntax = "proto3";'
+    assert 'import "EventAssists.proto";' in ev and 'import "EventKiller.proto";' in ev
+    assert ev[-1] == "}"
+    body = [ln for ln in ev if ln.startswith("  ")]
+    assert body == [
+        "  repeated EventAssists assists = 1;",
+        "  EventKiller killer = 2;",
+        "  repeated string tags = 3;",
+        "  int32 ts = 4;",
+    ]
+
+
+@pytest.fixture(scope="module")
+def small_images(spark):
+    rows = []
+    for i in range(10):
+        px = codec.reference_pixels(f"m{i}", 16, 16)
+        rows.append((f"m{i}", codec.encode_image(px, "png")))
+    rows.append(("bad", b"\x00\x01\x02"))
+    return spark.createDataFrame(rows, "image_id string, bytes binary")
+
+
+def test_image_feature_extraction(small_images):
+    feats = extract_image_features(small_images).collect()
+    assert len(feats) == 10  # bad payload skipped
+    for r in feats:
+        assert r["w"] == 16 and r["h"] == 16
+        assert 0 <= r["mean_luma"] <= 255 and r["std_luma"] > 0 and r["edge_energy"] > 0
+
+
+def test_resize_roundtrip(small_images):
+    resized = resize_images(small_images, 8, 8).collect()
+    assert len(resized) == 10
+    w, h, px = codec.decode_image(resized[0]["bytes"])
+    assert (w, h) == (8, 8)
+
+
+def test_video_frame_sampling(spark):
+    frames = [codec.encode_image(codec.reference_pixels(f"f{i}", 8, 8), "png") for i in range(25)]
+    df = spark.createDataFrame([("v0", frame_concat(frames))], "video_id string, bytes binary")
+    sampled = sample_video_frames(df, every_n=10).collect()
+    assert [r["frame_index"] for r in sampled] == [0, 10, 20]
+    for r in sampled:
+        w, h, _ = codec.decode_image(r["frame_bytes"])
+        assert (w, h) == (8, 8)
+
+
+def test_video_unknown_container_raises(spark):
+    df = spark.createDataFrame([("v1", b"RIFFxxxxWEBP")], "video_id string, bytes binary")
+    with pytest.raises(Exception, match="NotImplementedError|non-engine"):
+        sample_video_frames(df, every_n=1).collect()
