@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence for the north_rule criterion.
+
+The sandbox has no multi-node cluster, so the N-vs-4N-executors scaling
+test runs the IDENTICAL validation-suite job at local[8] and local[32] on
+the same synthetic input (BASELINE.md protocol) in separate JVMs, and
+reports throughput at both plus efficiency = (throughput@32 / throughput@8) / 4.
+
+The hardware note that picked N: this sandbox advertises 32 logical CPUs
+but a process-pool sweep delivers only ~8-10x real parallel CPU (shared
+host), so 8-vs-32 cannot physically scale 4x. N=2 vs 4N=8 sits inside the
+machine's true parallel envelope — the driver protocol explicitly allows
+"N and 4N cores".
+
+Usage: python bench_scaling.py [n_images] [n_base]   (default 100000, 2)
+Prints one JSON line; results recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.abspath("{repo}/bench.py")))
+sys.path.insert(0, "{repo}")
+from schema_inference_spark.session import get_spark
+from bench import ensure_images_parquet, run_validation_suite
+
+cpus = sys.argv[1]
+n = int(sys.argv[2])
+# identical job config at both sizes (only the core count varies)
+spark = get_spark(app_name=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
+                  shuffle_partitions=16)
+images, captions, snapshot = ensure_images_parquet(spark, n)
+run_validation_suite(spark, images, captions, snapshot)   # warmup (JIT+workers)
+best = float("inf")
+for _ in range(2):
+    t0 = time.perf_counter()
+    run_validation_suite(spark, images, captions, snapshot)
+    best = min(best, time.perf_counter() - t0)
+print(json.dumps({{"cpus": int(cpus), "suite_sec": round(best, 3),
+                   "images_per_sec": round(n / best, 1)}}))
+"""
+
+
+def run_at(cpus: int, n: int) -> dict:
+    code = RUNNER.format(repo=os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cpus), str(n)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    r_n = run_at(n_base, n)
+    r_4n = run_at(4 * n_base, n)
+    eff = (r_4n["images_per_sec"] / r_n["images_per_sec"]) / 4.0
+    print(
+        json.dumps(
+            {
+                "n_images": n,
+                f"local{n_base}": r_n,
+                f"local{4 * n_base}": r_4n,
+                "scaling_efficiency": round(eff, 3),
+                "criterion": "efficiency >= 0.8 between N and 4N parallelism",
+                "passed": eff >= 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

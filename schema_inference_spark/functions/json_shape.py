@@ -43,14 +43,18 @@ def flat_json_shape_expr(col: Column) -> Column:
     ``{"type":"object","properties":{"k":{"type":"integer"},...}}`` with keys
     sorted; null for unparseable rows (filtered like reference P4).
     """
+    # One transform over sorted (key, value) entries. Higher-order functions
+    # evaluate interpreted (outside whole-stage codegen), so the hot loop is
+    # kept to a single lambda over map_entries — no per-key element_at
+    # lookups, no repeated from_json evaluation.
     m = F.from_json(col, "map<string,string>")
     entries = F.transform(
-        F.array_sort(F.map_keys(m)),
-        lambda k: F.concat(
+        F.array_sort(F.map_entries(m)),
+        lambda e: F.concat(
             F.lit('"'),
-            k,
+            e["key"],
             F.lit('":{"type":"'),
-            infer_json_type_expr(F.element_at(m, k)),
+            infer_json_type_expr(e["value"]),
             F.lit('"}'),
         ),
     )

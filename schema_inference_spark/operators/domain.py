@@ -36,27 +36,39 @@ def domain_violations(
     fmt_domain: tuple[str, ...] = ("png", "jpeg", "webp"),
     part_col: str = "part",
 ) -> DataFrame:
-    """fmt-domain + dimension-positivity + null-caption violations."""
-    fmt_bad = images.where(
-        F.col("fmt").isNull() | ~F.col("fmt").isin(*fmt_domain)
+    """fmt-domain + dimension-positivity + null-caption violations.
+
+    ONE narrow scan: each rule emits an optional struct; the array of hits
+    is exploded. (A union of three filters would re-scan the table per
+    rule — same data, 3x the IO.)
+    """
+    fmt_v = F.when(
+        F.col("fmt").isNull() | ~F.col("fmt").isin(*fmt_domain),
+        F.struct(
+            F.lit("domain_fmt").alias("check_name"),
+            F.to_json(F.struct("fmt")).alias("detail"),
+        ),
+    )
+    dims_v = F.when(
+        F.col("w").isNull() | F.col("h").isNull() | (F.col("w") <= 0) | (F.col("h") <= 0),
+        F.struct(
+            F.lit("domain_dims").alias("check_name"),
+            F.to_json(F.struct("w", "h")).alias("detail"),
+        ),
+    )
+    cap_v = F.when(
+        F.col("caption").isNull(),
+        F.struct(
+            F.lit("null_caption").alias("check_name"),
+            F.to_json(F.struct(F.lit("caption is null").alias("reason"))).alias("detail"),
+        ),
+    )
+    viols = F.filter(F.array(fmt_v, dims_v, cap_v), lambda v: v.isNotNull())
+    return images.select(
+        F.col(part_col).alias("part"), "image_id", F.explode(viols).alias("v")
     ).select(
-        F.col(part_col).alias("part"),
-        F.lit("domain_fmt").alias("check_name"),
+        "part",
+        F.col("v.check_name").alias("check_name"),
         "image_id",
-        F.to_json(F.struct("fmt")).alias("detail"),
+        F.col("v.detail").alias("detail"),
     )
-    dims_bad = images.where(
-        F.col("w").isNull() | F.col("h").isNull() | (F.col("w") <= 0) | (F.col("h") <= 0)
-    ).select(
-        F.col(part_col).alias("part"),
-        F.lit("domain_dims").alias("check_name"),
-        "image_id",
-        F.to_json(F.struct("w", "h")).alias("detail"),
-    )
-    caption_null = images.where(F.col("caption").isNull()).select(
-        F.col(part_col).alias("part"),
-        F.lit("null_caption").alias("check_name"),
-        "image_id",
-        F.to_json(F.struct(F.lit("caption is null").alias("reason"))).alias("detail"),
-    )
-    return fmt_bad.unionByName(dims_bad).unionByName(caption_null)

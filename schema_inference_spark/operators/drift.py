@@ -27,15 +27,27 @@ DEFAULT_DRIFT_COLS = ("w_hist", "h_hist", "phash_hist")
 
 
 def _explode_hists(profile: DataFrame, hist_cols: tuple[str, ...], side: str) -> DataFrame:
-    stacked = None
-    for hc in hist_cols:
-        one = profile.select(
-            "part",
-            F.lit(hc).alias("column"),
-            F.posexplode(hc).alias("bucket", f"cnt_{side}"),
+    # ONE pass over the profile: every histogram column becomes an array of
+    # (column, bucket, cnt) structs, concatenated and exploded together.
+    # (A union of per-column explodes would re-execute the upstream profile
+    # aggregation once per histogram column.)
+    def entries(hc: str):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(hc) - 1),
+            lambda i: F.struct(
+                F.lit(hc).alias("column"),
+                i.alias("bucket"),
+                F.element_at(F.col(hc), i + 1).alias("cnt"),
+            ),
         )
-        stacked = one if stacked is None else stacked.unionByName(one)
-    return stacked
+
+    per_col = [entries(hc) for hc in hist_cols]
+    return profile.select("part", F.explode(F.concat(*per_col)).alias("e")).select(
+        "part",
+        F.col("e.column").alias("column"),
+        F.col("e.bucket").alias("bucket"),
+        F.col("e.cnt").alias(f"cnt_{side}"),
+    )
 
 
 def drift_scores(

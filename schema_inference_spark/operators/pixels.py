@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 from schema_inference_spark.datagen import codec
 
 PIXEL_RESULT_SCHEMA = (
-    "image_id string, part int, decode_ok boolean, actual_w int, actual_h int, psnr_db double"
+    "image_id string, part int, w int, h int, "
+    "decode_ok boolean, actual_w int, actual_h int, psnr_db double"
 )
 
 
@@ -53,6 +54,8 @@ def _check_batch(batch: pd.DataFrame) -> pd.DataFrame:
         {
             "image_id": batch["image_id"].values,
             "part": batch["part"].values,
+            "w": batch["w"].values,
+            "h": batch["h"].values,
             "decode_ok": decode_ok,
             "actual_w": actual_w,
             "actual_h": actual_h,
@@ -62,8 +65,13 @@ def _check_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def pixel_check_results(images: DataFrame, part_col: str = "part") -> DataFrame:
-    """Per-row pixel check results (compact, no pixel data)."""
-    narrow = images.select("image_id", "bytes", F.col(part_col).alias("part"))
+    """Per-row pixel check results (compact, no pixel data).
+
+    Declared (w, h) are echoed through the UDF so no join back to the table
+    is needed — the blob column is read exactly once and the comparison
+    columns ride along in the same Arrow batches.
+    """
+    narrow = images.select("image_id", "bytes", "w", "h", F.col(part_col).alias("part"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -75,35 +83,36 @@ def pixel_check_results(images: DataFrame, part_col: str = "part") -> DataFrame:
 def pixel_violations(
     images: DataFrame, psnr_min_db: float = 40.0, part_col: str = "part"
 ) -> DataFrame:
-    """Violation rows for the three pixel invariants.
+    """Violation rows for the three pixel invariants in ONE pass.
 
-    The declared-vs-actual dimension comparison joins the compact result
-    frame back to the narrow (image_id, w, h) projection — the blob column
-    is read exactly once, in the UDF scan.
+    The three checks are emitted as an array of optional structs and
+    exploded — one UDF scan (one decode per image), no union of branches
+    that would each re-run the decode.
     """
-    results = pixel_check_results(images, part_col)
-    declared = images.select("image_id", "w", "h")
-    r = results.join(declared, "image_id", "inner")
-
-    decode = r.where(~F.col("decode_ok")).select(
-        "part",
-        F.lit("pixel_decode").alias("check_name"),
-        "image_id",
-        F.to_json(F.struct(F.lit("decode failed").alias("reason"))).alias("detail"),
+    r = pixel_check_results(images, part_col)
+    decode_v = F.when(
+        ~F.col("decode_ok"),
+        F.struct(
+            F.lit("pixel_decode").alias("check_name"),
+            F.to_json(F.struct(F.lit("decode failed").alias("reason"))).alias("detail"),
+        ),
     )
-    dims = r.where(
+    dims_v = F.when(
         F.col("decode_ok")
-        & ((F.col("actual_w") != F.col("w")) | (F.col("actual_h") != F.col("h")))
-    ).select(
-        "part",
-        F.lit("pixel_dims").alias("check_name"),
-        "image_id",
-        F.to_json(F.struct("w", "h", "actual_w", "actual_h")).alias("detail"),
+        & ((F.col("actual_w") != F.col("w")) | (F.col("actual_h") != F.col("h"))),
+        F.struct(
+            F.lit("pixel_dims").alias("check_name"),
+            F.to_json(F.struct("w", "h", "actual_w", "actual_h")).alias("detail"),
+        ),
     )
-    psnr = r.where(F.col("decode_ok") & (F.col("psnr_db") < psnr_min_db)).select(
-        "part",
-        F.lit("pixel_psnr").alias("check_name"),
-        "image_id",
-        F.to_json(F.struct(F.round("psnr_db", 2).alias("psnr_db"))).alias("detail"),
+    psnr_v = F.when(
+        F.col("decode_ok") & (F.col("psnr_db") < psnr_min_db),
+        F.struct(
+            F.lit("pixel_psnr").alias("check_name"),
+            F.to_json(F.struct(F.round("psnr_db", 2).alias("psnr_db"))).alias("detail"),
+        ),
     )
-    return decode.unionByName(dims).unionByName(psnr)
+    viols = F.filter(F.array(decode_v, dims_v, psnr_v), lambda v: v.isNotNull())
+    return r.select("part", "image_id", F.explode(viols).alias("v")).select(
+        "part", F.col("v.check_name").alias("check_name"), "image_id", F.col("v.detail").alias("detail")
+    )

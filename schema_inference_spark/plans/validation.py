@@ -100,7 +100,14 @@ def run_validation(
     captions: DataFrame,
     config: ValidationConfig | None = None,
     snapshot_profile: DataFrame | None = None,
+    materialize: bool = False,
 ) -> ValidationResult:
+    """Build the suite. With ``materialize=True`` the violations table is
+    persisted before the verdict aggregation, so consumers that trigger
+    both (count violations AND read verdicts) pay for the scan pipeline
+    once — the DataFrame analog of the reference's missing ``.persist()``
+    (its count + reduceByKey recomputed the whole parse lineage twice,
+    SeqFilesScan.java:284,297)."""
     config = config or ValidationConfig()
     schema_problems = []
     if config.declared_schema is not None:
@@ -113,15 +120,22 @@ def run_validation(
 
     profile = profile_images(images)
     violations = collect_violations(images, captions, config)
+    if materialize:
+        violations = violations.persist()
+        if snapshot_profile is not None:
+            # the profile feeds both the result and the drift comparison;
+            # it is tiny (one row per partition) — cache it
+            profile = profile.persist()
 
-    # per-partition verdicts: parts x checks grid left-joined to violation counts
-    parts = images.select("part").distinct()
+    # per-partition verdicts: parts x checks grid left-joined to violation
+    # counts; the grid derives from the SAME part_rows aggregate (one scan,
+    # not a distinct + a groupBy)
     checks = spark.createDataFrame([(c,) for c in ROW_CHECKS], "check_name string")
-    grid = parts.crossJoin(F.broadcast(checks))
+    part_rows = images.groupBy("part").agg(F.count(F.lit(1)).alias("n_rows"))
+    grid = part_rows.select("part").crossJoin(F.broadcast(checks))
     counts = violations.groupBy("part", "check_name").agg(
         F.count(F.lit(1)).alias("n_violations")
     )
-    part_rows = images.groupBy("part").agg(F.count(F.lit(1)).alias("n_rows"))
     verdicts = (
         grid.join(counts, ["part", "check_name"], "left")
         .join(part_rows, "part", "left")
