@@ -345,7 +345,7 @@ SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -401,6 +401,98 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- as-of join (training-pipeline staple; DuckDB ASOF JOIN is the oracle) ---
+
+
+def error_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_inference_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", _dec("value").alias("click_value")
+    )
+    joined = asof_join(errors, clicks, key="user_id", ts="ts", right_value_cols=["click_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("click_value_asof"),
+    ).orderBy("event_id")
+
+
+ASOF_SQL = """
+SELECT l.event_id, l.user_id, floor(epoch(l.ts))::BIGINT AS ts_epoch,
+       r.value::DECIMAL(18,2) AS click_value_asof
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY event_id
+"""
+
+
+# --- rollup (multi-level aggregation) ---
+
+
+def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, sum(o_totalprice::DECIMAL(18,2)) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# --- set difference (violation-delta shape: EXCEPT ALL) ---
+
+
+def customers_minus_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    buyers = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    return cust.exceptAll(buyers).orderBy("custkey")
+
+
+EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT ALL
+SELECT DISTINCT o_custkey AS custkey FROM orders
+ORDER BY custkey
+"""
+
+
+# --- HLL cardinality (north_rule: approx_count_distinct; rows-only check —
+#     the estimate is implementation-defined, accuracy asserted in pytest) ---
+
+
+def partkey_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL, "A1-A4: grouped agg, decimal-exact"),
     QuerySpec("q3_topk_revenue", q3_topk_revenue, Q3_SQL, "3-way join + top-k"),
@@ -416,4 +508,8 @@ SPECS = [
     QuerySpec("user_session_counts", user_session_counts, SESSION_SQL, "sessionization"),
     QuerySpec("event_sample_sorted", event_sample_sorted, SORTED_SQL, "multi-col sort+limit"),
     QuerySpec("event_profile", event_profile, EVENT_PROFILE_SQL, "null-fraction profile"),
+    QuerySpec("error_asof_last_click", error_asof_last_click, ASOF_SQL, "as-of join"),
+    QuerySpec("order_rollup", order_rollup, ROLLUP_SQL, "rollup aggregation"),
+    QuerySpec("customers_minus_buyers", customers_minus_buyers, EXCEPT_SQL, "EXCEPT ALL"),
+    QuerySpec("partkey_cardinality_hll", partkey_cardinality_hll, None, "HLL cardinality"),
 ]

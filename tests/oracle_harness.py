@@ -24,7 +24,7 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon(v):
     if v is None:
-        return None
+        return ("none",)
     if isinstance(v, decimal.Decimal):
         return ("dec", str(v.normalize()))
     if isinstance(v, float):
