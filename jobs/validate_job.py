@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Production entry point: the full constraint suite as a spark-submit job.
+
+Launch (north_rule launch mode):
+
+    python jobs/package_pyfiles.py                       # build the zip once
+    spark-submit --py-files /tmp/schema_inference_spark.zip \
+        jobs/validate_job.py \
+        --images  <parquet/iceberg path> \
+        --captions <parquet path> \
+        --output  <results dir> \
+        [--snapshot <profile parquet>] [--checkpoint <lineage dir>] \
+        [--run-id run-1] [--no-pixels]
+
+Writes three result tables under --output (verdicts/, violations/,
+profile/), appends per-partition lineage to --checkpoint, and skips
+partitions already recorded there (resume). Exit code 1 if any check
+failed — suitable for orchestrator gating.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--captions", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--snapshot", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--run-id", default=f"run-{int(time.time())}")
+    ap.add_argument("--no-pixels", action="store_true")
+    ap.add_argument("--psnr-min-db", type=float, default=40.0)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from schema_inference_spark.plans.checkpoint import filter_for_resume, write_checkpoint
+    from schema_inference_spark.plans.validation import ValidationConfig, run_validation
+
+    # under spark-submit the session is provided/configured by the launcher
+    spark = SparkSession.builder.getOrCreate()
+
+    images = spark.read.parquet(args.images)
+    captions = spark.read.parquet(args.captions)
+    if args.checkpoint:
+        images = filter_for_resume(spark, images, args.checkpoint)
+        captions = filter_for_resume(spark, captions, args.checkpoint)
+    if images.isEmpty():
+        print("all partitions already validated; nothing to do")
+        return 0
+
+    snapshot_profile = spark.read.parquet(args.snapshot) if args.snapshot else None
+    config = ValidationConfig(check_pixels=not args.no_pixels, psnr_min_db=args.psnr_min_db)
+    res = run_validation(
+        spark, images, captions, config, snapshot_profile=snapshot_profile, materialize=True
+    )
+
+    res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
+    res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+    res.profile.write.mode("overwrite").parquet(f"{args.output}/profile")
+    if args.checkpoint:
+        write_checkpoint(res.verdicts, args.checkpoint, args.run_id)
+
+    failed = res.verdicts.where(~res.verdicts.passed).count()
+    n = res.verdicts.count()
+    print(f"run {args.run_id}: {n} verdicts, {failed} failed checks; "
+          f"schema problems: {res.schema_problems or 'none'}")
+    res.violations.unpersist()
+    return 1 if failed or res.schema_problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
