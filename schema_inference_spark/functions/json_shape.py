@@ -72,11 +72,12 @@ def flat_json_shape_sql(col_sql: str) -> str:
     """DuckDB-compatible SQL computing the identical canonical shape string."""
     val = f"json_extract_string({col_sql}, '$.' || k)"
     type_case = infer_json_type_sql(val)
+    # coalesce: DuckDB's array_to_string([]) is NULL (Spark's array_join is '')
     return (
-        '\'{"type":"object","properties":{\' || array_to_string('
+        '\'{"type":"object","properties":{\' || coalesce(array_to_string('
         f"list_transform(list_sort(json_keys({col_sql})), "
         f"k -> '\"' || k || '\":{{\"type\":\"' || ({type_case}) || '\"}}'"
-        "), ',') || '}}'"
+        "), ','), '') || '}}'"
     )
 
 

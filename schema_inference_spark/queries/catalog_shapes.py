@@ -32,7 +32,7 @@ def shape_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHAPE_COUNTS_SQL = f"""
 WITH shaped AS (
   SELECT {flat_json_shape_sql('props')} AS schema
-  FROM events WHERE props IS NOT NULL
+  FROM events WHERE props IS NOT NULL AND json_valid(props)
 ),
 counts AS (SELECT schema, count(*) AS count FROM shaped GROUP BY schema)
 SELECT schema, count, (count * 100) // (SELECT sum(count) FROM counts) AS percent
@@ -48,7 +48,7 @@ def shape_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHAPE_TOPK_SQL = f"""
 WITH shaped AS (
   SELECT {flat_json_shape_sql('props')} AS schema
-  FROM events WHERE props IS NOT NULL
+  FROM events WHERE props IS NOT NULL AND json_valid(props)
 ),
 counts AS (SELECT schema, count(*) AS count FROM shaped GROUP BY schema)
 SELECT schema, count, (count * 100) // (SELECT sum(count) FROM counts) AS percent
@@ -63,7 +63,7 @@ def shape_exemplars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHAPE_EXEMPLARS_SQL = f"""
 SELECT {flat_json_shape_sql('props')} AS schema, min(props) AS colvalue
-FROM events WHERE props IS NOT NULL AND {flat_json_shape_sql('props')} IS NOT NULL
+FROM events WHERE props IS NOT NULL AND json_valid(props)
 GROUP BY 1 ORDER BY schema
 """
 

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale properties claimed in
+README/COVERAGE must be visible in the executed plan, not just intended."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_inference_spark.datagen.images import generate_image_corpus, images_spark_df
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def images_on_disk(spark, tmp_path_factory):
+    corpus = generate_image_corpus(300, n_parts=2)
+    images, captions = images_spark_df(spark, corpus)
+    d = tmp_path_factory.mktemp("plans")
+    images.write.parquet(f"{d}/images")
+    captions.write.parquet(f"{d}/captions")
+    return spark.read.parquet(f"{d}/images"), spark.read.parquet(f"{d}/captions")
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    from schema_inference_spark.queries.catalog_core import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan so codegen spans are visible
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "partial_sum" in plan  # map-side combine
+    assert plan.count("*(") >= 1  # whole-stage-codegen spans ('*(n)' prefix)
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    from schema_inference_spark.queries.catalog_core import q3_topk_revenue
+
+    plan = plan_of(q3_topk_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_uniqueness_partial_agg_and_broadcast(images_on_disk):
+    from schema_inference_spark.operators.uniqueness import duplicate_row_violations
+
+    images, _ = images_on_disk
+    plan = plan_of(duplicate_row_violations(images, "phash", "u"))
+    assert "partial_count" in plan  # hot key combined map-side
+    assert "BroadcastHashJoin" in plan  # dup-key set broadcast, big side unshuffled
+
+
+def test_profile_prunes_bytes_and_single_agg(images_on_disk):
+    from schema_inference_spark.operators.profile import profile_images
+
+    images, _ = images_on_disk
+    plan = plan_of(profile_images(images))
+    scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+    assert "bytes" not in scan
+    # exactly one aggregation pair (partial+final) — single-pass claim
+    assert plan.count("HashAggregate") == 2 or plan.count("SortAggregate") == 2
+
+
+def test_orphan_check_is_anti_join(images_on_disk):
+    from schema_inference_spark.operators.referential import orphan_violations
+
+    images, captions = images_on_disk
+    plan = plan_of(orphan_violations(images, captions, "o", broadcast_right=True))
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_pixel_scan_reads_bytes_once(images_on_disk):
+    from schema_inference_spark.operators.pixels import pixel_violations
+
+    images, _ = images_on_disk
+    plan = plan_of(pixel_violations(images))
+    # exactly one scan carries the blob column
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert sum("bytes" in s for s in scans) == 1
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan

@@ -1,0 +1,114 @@
+"""Property-based parity: random inputs through Spark exprs vs DuckDB SQL vs
+an independent plain-Python reimplementation of the reference rules.
+
+Strategy: hypothesis generates batches; each batch round-trips all three
+implementations once (one Spark job per batch, not per example, to keep
+runtime sane)."""
+
+from __future__ import annotations
+
+import json
+import re
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from schema_inference_spark.functions.json_shape import flat_json_shape_expr, flat_json_shape_sql
+from schema_inference_spark.functions.type_inference import infer_type_expr, infer_type_sql
+
+# --- independent reimplementation of the reference rule chain -------------
+
+
+def infer_type_py(v: str) -> str:
+    """InferJsonDatatype.determineInferDatatype re-derived from SURVEY §1.2
+    (independent of the Spark/SQL implementations under test)."""
+    if v.lower() in ("true", "false"):
+        return "boolean"
+    if re.search(r"[a-zA-Z]", v):
+        return "string"
+    if v and re.fullmatch(r"[0-9]+", v):
+        return "integer"
+    dot = v.rfind(".")
+    after = v[dot + 1 :] if dot >= 0 else v
+    parseable = _parses_float(v)
+    if len(after) > 3 and parseable:
+        return "double"
+    if parseable:
+        return "float"
+    return "null"
+
+
+def _parses_float(v: str) -> bool:
+    # try_cast-to-float semantics (no letters present at this point)
+    try:
+        float(v)
+        return True
+    except ValueError:
+        return False
+
+
+VALUE_ALPHABET = st.sampled_from(list("0123456789.-+eE aZ"))
+values = st.lists(
+    st.text(alphabet=VALUE_ALPHABET, min_size=0, max_size=12), min_size=1, max_size=30
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values)
+def test_type_lattice_three_way(spark, duck, vals):
+    # Spark's try_cast and Python float() disagree on a few exotic spellings
+    # (e.g. 'E5', '.', '+'): keep the fuzz on the reference-realistic ones.
+    vals = [v for v in vals if not re.fullmatch(r"[+\-.eE]*", v) or v == ""]
+    if not vals:
+        return
+    sdf = spark.createDataFrame([(v,) for v in vals], "v string")
+    spark_out = [
+        r["t"] for r in sdf.select(infer_type_expr(F.col("v")).alias("t")).collect()
+    ]
+    duck.execute("CREATE OR REPLACE TABLE tt(v VARCHAR)")
+    duck.executemany("INSERT INTO tt VALUES (?)", [(v,) for v in vals])
+    duck_out = [r[0] for r in duck.execute(f"SELECT {infer_type_sql('v')} FROM tt").fetchall()]
+    py_out = [infer_type_py(v) for v in vals]
+    assert spark_out == duck_out == py_out, list(zip(vals, spark_out, duck_out, py_out))
+
+
+keys = st.text(alphabet=st.sampled_from(list("abcxyz_")), min_size=1, max_size=6)
+# floats constrained so json.dumps never uses scientific notation: engines
+# re-serialize exponent forms differently ("1e-05" vs "0.00001"), which
+# legitimately shifts the string-based lattice type — the reference's
+# canonical input is raw KV strings (test_type_lattice_three_way), not
+# engine-re-serialized JSON numbers.
+scalars = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False).map(
+        lambda x: round(x, 4) + 0.0
+    ).filter(lambda x: abs(x) >= 1e-3 or x == 0),
+    st.booleans(),
+    st.text(alphabet=st.sampled_from(list("abc 123")), max_size=8),
+    st.none(),
+)
+flat_docs = st.dictionaries(keys, scalars, max_size=6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(flat_docs, min_size=1, max_size=10))
+def test_flat_shape_spark_duck_parity(spark, duck, docs):
+    rows = [(json.dumps(d),) for d in docs]
+    sdf = spark.createDataFrame(rows, "doc string")
+    spark_out = sorted(
+        r["s"] for r in sdf.select(flat_json_shape_expr(F.col("doc")).alias("s")).collect()
+    )
+    duck.execute("CREATE OR REPLACE TABLE dd(doc VARCHAR)")
+    duck.executemany("INSERT INTO dd VALUES (?)", rows)
+    duck_out = sorted(
+        r[0] for r in duck.execute(f"SELECT {flat_json_shape_sql('doc')} FROM dd").fetchall()
+    )
+    assert spark_out == duck_out
