@@ -103,6 +103,75 @@ def cosine_topk_lsh(
     return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
 
 
+def ivf_assignments(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its max-cosine centroid.
+
+    ``centroids`` is a small driver-side list (k-means output in production;
+    any deterministic seed set works for the index structure) baked into the
+    plan as literals — the assignment pass is a single projection, no join,
+    no shuffle. At scale the assignment becomes the table's cluster/partition
+    key, so a query probes 1/k of the data (see ``cosine_topk_ivf``).
+    """
+    sims = [
+        (cid, cosine_expr(F.col(vec_col), query_vector_literal(vec), decimals=9))
+        for cid, vec in centroids
+    ]
+    best_id = F.lit(sims[0][0])
+    best_sim = sims[0][1]
+    for cid, s in sims[1:]:  # strict > keeps the lowest centroid id on ties
+        cond = s > best_sim
+        best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
+        best_sim = F.when(cond, s).otherwise(best_sim)
+    return df.withColumn("centroid_id", best_id)
+
+
+def ivf_assignment_sql(
+    centroids: list[tuple[int, list[float]]], vec: str = "embedding"
+) -> str:
+    """DuckDB expression computing the identical argmax-centroid assignment."""
+
+    def lit(v: list[float]) -> str:
+        return "[" + ", ".join(f"{x!r}::DOUBLE" for x in v) + "]"
+
+    best_id, best_sim = str(centroids[0][0]), cosine_sql(vec, lit(centroids[0][1]), 9)
+    for cid, cvec in centroids[1:]:
+        s = cosine_sql(vec, lit(cvec), 9)
+        best_id = f"(CASE WHEN {s} > {best_sim} THEN {cid} ELSE {best_id} END)"
+        best_sim = f"(CASE WHEN {s} > {best_sim} THEN {s} ELSE {best_sim} END)"
+    return best_id
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k probing the ``n_probe`` centroids closest to the query."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    probe = sorted(centroids, key=lambda c: -cos(query_vec, c[1]))[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+    assigned = ivf_assignments(df, centroids, id_col, vec_col)
+    return cosine_topk(
+        assigned.where(F.col("centroid_id").isin(probe_ids)), query_vec, k, id_col, vec_col
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

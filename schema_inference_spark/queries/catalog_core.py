@@ -477,6 +477,32 @@ ORDER BY custkey
 """
 
 
+# --- pivot (wide aggregation; CASE-based SQL both engines execute) ---
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_bucket_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("int"))
+    return (
+        bucketed.groupBy("user_bucket")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_bucket")
+    )
+
+
+PIVOT_SQL = (
+    "SELECT (user_id % 10)::INT AS user_bucket, "
+    + ", ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1 ORDER BY user_bucket"
+)
+
+
 # --- HLL cardinality (north_rule: approx_count_distinct; rows-only check —
 #     the estimate is implementation-defined, accuracy asserted in pytest) ---
 
@@ -511,5 +537,6 @@ SPECS = [
     QuerySpec("error_asof_last_click", error_asof_last_click, ASOF_SQL, "as-of join"),
     QuerySpec("order_rollup", order_rollup, ROLLUP_SQL, "rollup aggregation"),
     QuerySpec("customers_minus_buyers", customers_minus_buyers, EXCEPT_SQL, "EXCEPT ALL"),
+    QuerySpec("user_bucket_event_pivot", user_bucket_event_pivot, PIVOT_SQL, "pivot"),
     QuerySpec("partkey_cardinality_hll", partkey_cardinality_hll, None, "HLL cardinality"),
 ]

@@ -112,8 +112,68 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def _centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in sorted(rows, key=lambda r: r["vec_id"])]
+
+
+def embedding_ivf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_inference_spark.operators.similarity import ivf_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        ivf_assignments(emb, _centroids(spark, sf_dir))
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("centroid_id")
+    )
+
+
+_IVF_BASE = f"""
+c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+sims AS (SELECT e.vec_id, c.cid, {cosine_sql('e.embedding', 'c.cvec', 9)} AS s
+         FROM embeddings e CROSS JOIN c),
+best AS (SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+         FROM sims)
+"""
+
+IVF_HIST_SQL = f"""
+WITH {_IVF_BASE}
+SELECT cid AS centroid_id, count(*) AS n FROM best WHERE rn = 1
+GROUP BY 1 ORDER BY centroid_id
+"""
+
+
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_inference_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(
+        emb, _query_vec(spark, sf_dir), _centroids(spark, sf_dir), k=10, n_probe=2
+    ).select("vec_id", "cosine_sim")
+
+
+IVF_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+{_IVF_BASE},
+probe AS (SELECT cid FROM c, q ORDER BY {cosine_sql('cvec', 'qv', 9)} DESC, cid ASC LIMIT 2),
+cand AS (SELECT vec_id FROM best WHERE rn = 1 AND cid IN (SELECT cid FROM probe))
+SELECT e.vec_id, {cosine_sql('e.embedding', 'qv', 6)} AS cosine_sim
+FROM embeddings e JOIN cand USING (vec_id), q
+ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 SPECS = [
     QuerySpec("embedding_topk_cosine", embedding_topk_cosine, TOPK_SQL, "brute-force ANN baseline"),
+    QuerySpec("embedding_ivf_histogram", embedding_ivf_histogram, IVF_HIST_SQL, "IVF coarse quantization"),
+    QuerySpec("embedding_topk_ivf", embedding_topk_ivf, IVF_TOPK_SQL, "IVF n_probe ANN"),
     QuerySpec("embedding_topk_lsh", embedding_topk_lsh, TOPK_LSH_SQL, "LSH-bucketed ANN"),
     QuerySpec("embedding_near_dups", embedding_near_dups, NEAR_DUP_SQL, "cosine near-dup pairs"),
     QuerySpec("ann_bucket_histogram", ann_bucket_histogram, BUCKET_HIST_SQL, "LSH bucket stats"),
