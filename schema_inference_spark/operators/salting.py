@@ -36,15 +36,15 @@ def salted_exemplars(
         .groupBy(key, "_salt")
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.slice(F.array_sort(F.collect_list("_ex")), 1, k).alias("_partial"),
+            F.slice(F.array_sort(F.collect_set("_ex")), 1, k).alias("_partial"),
         )
     )
     return (
         phase1.groupBy(key)
         .agg(
             F.sum("_n").alias("n_rows"),
-            F.slice(F.array_sort(F.flatten(F.collect_list("_partial"))), 1, k).alias(
-                "exemplars"
-            ),
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("_partial")))), 1, k
+            ).alias("exemplars"),
         )
     )

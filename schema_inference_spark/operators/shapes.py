@@ -75,6 +75,27 @@ def shape_exemplars(df: DataFrame, shape_col: Column, raw_col: Column) -> DataFr
     )
 
 
+def persist_shape_profile(df: DataFrame, shape_col: Column, path: str) -> None:
+    """Persist the distinct-shape profile (the reference's ``data/distinct``
+    output, SeqFilesScan.java:318-344) as JSON lines."""
+    shape_counts(df, shape_col).write.mode("overwrite").json(path)
+
+
+def reanalyze_persisted_shapes(spark, path: str, merge_n: int = DEFAULT_MERGE_N) -> dict:
+    """Re-run the merge stage from a persisted profile WITHOUT touching the
+    raw corpus — the reference's SeqScanAsJson resumability path
+    (SeqScanAsJson.java:66-77 re-reads data/distinct and re-merges)."""
+    # explicit schema: an empty profile dir has nothing to infer from
+    profile = spark.read.schema("schema string, count long, percent long").json(path)
+    rows = (
+        profile.orderBy(F.desc("count"), F.asc("schema")).limit(merge_n).collect()
+    )
+    schemas = [json.loads(r["schema"]) for r in rows]
+    if not schemas:
+        return {}
+    return reduce(merge_schemas, schemas)
+
+
 def merged_top_schema(
     df: DataFrame, shape_col: Column, merge_n: int = DEFAULT_MERGE_N
 ) -> dict:

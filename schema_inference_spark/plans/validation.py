@@ -70,6 +70,15 @@ class ValidationResult:
     profile: DataFrame  # per-partition stats/histograms
     schema_problems: list[str] = field(default_factory=list)
 
+    def exemplars(self, k: int = 5) -> DataFrame:
+        """Up to k deterministic exemplar image_ids per failing check — the
+        reference's schema+sample evidence table (A5, SeqFilesScan.java:241)
+        generalized, built hot-key-safe via salted two-phase collection
+        (a check like unique_phash can flag 1/3 of the corpus)."""
+        from schema_inference_spark.operators.salting import salted_exemplars
+
+        return salted_exemplars(self.violations, "check_name", "image_id", k=k)
+
 
 def collect_violations(
     images: DataFrame, captions: DataFrame, config: ValidationConfig
