@@ -66,6 +66,52 @@ def phash_hist_agg(n_buckets: int = PHASH_BUCKETS) -> Column:
     return F.array(*counts).alias("phash_hist")
 
 
+def profile_table(df: DataFrame, numeric_cols: list[str] | None = None) -> DataFrame:
+    """Generic long-format single-pass profile for ANY table:
+    one row per (column, metric): n_rows / n_null / n_distinct for every
+    column, min / max for numeric columns. All metrics are commutative
+    partials -> one aggregation; values in DECIMAL(30,6) for engine-exact
+    comparison. (The image-specific ``profile_images`` keeps its wide,
+    histogram-bearing shape; this is the open API for arbitrary tables.)
+    """
+    if numeric_cols is None:
+        numeric_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.simpleString() in ("int", "bigint", "double", "float", "decimal")
+        ]
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in df.columns:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null__{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist__{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("decimal(30,6)")).alias(f"__min__{c}"))
+        aggs.append(F.max(F.col(c).cast("decimal(30,6)")).alias(f"__max__{c}"))
+    wide = df.agg(*aggs)
+
+    entries = [
+        F.struct(F.lit(c).alias("column"), F.lit(m).alias("metric"),
+                 F.col(f"__{tag}__{c}").cast("decimal(30,6)").alias("value"))
+        for c in df.columns
+        for m, tag in (("n_null", "null"), ("n_distinct", "dist"))
+    ]
+    entries += [
+        F.struct(F.lit(c).alias("column"), F.lit(m).alias("metric"),
+                 F.col(f"__{tag}__{c}").cast("decimal(30,6)").alias("value"))
+        for c in numeric_cols
+        for m, tag in (("min", "min"), ("max", "max"))
+    ]
+    entries.append(
+        F.struct(F.lit("*").alias("column"), F.lit("n_rows").alias("metric"),
+                 F.col("__n_rows").cast("decimal(30,6)").alias("value"))
+    )
+    return wide.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.column", "e.metric", "e.value"
+    )
+
+
 def profile_images(
     images: DataFrame,
     part_col: str = "part",

@@ -28,13 +28,21 @@ def registry() -> dict[str, QuerySpec]:
     from schema_inference_spark.queries import (
         catalog_core,
         catalog_images,
+        catalog_rules,
         catalog_shapes,
         catalog_text,
         catalog_vectors,
     )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (catalog_core, catalog_shapes, catalog_text, catalog_vectors, catalog_images):
+    for mod in (
+        catalog_core,
+        catalog_shapes,
+        catalog_text,
+        catalog_vectors,
+        catalog_images,
+        catalog_rules,
+    ):
         for spec in mod.SPECS:
             assert spec.name not in specs, f"duplicate query name {spec.name}"
             specs[spec.name] = spec

@@ -1,0 +1,76 @@
+"""Declarative rule DSL on a synthetic table with planted violations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_inference_spark.plans.rules import (
+    apply_rules,
+    in_domain,
+    in_range,
+    matches,
+    not_null,
+    row_rule,
+    rule_verdicts,
+    unique,
+)
+
+ROWS = [
+    # (id, status, price, email)
+    ("r1", "active", 10.0, "a@x.com"),
+    ("r2", "active", -5.0, "b@x.com"),  # range violation
+    ("r3", "weird", 20.0, "c@x.com"),  # domain violation
+    ("r4", None, 30.0, "nope"),  # null + regex violations
+    ("r5", "closed", 40.0, "d@x.com"),
+    ("r5", "closed", 40.0, "d@x.com"),  # duplicate id (2 rows)
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, "id string, status string, price double, email string")
+
+
+def _rules():
+    # built lazily: Column exprs need an active session
+    return [
+        not_null("status"),
+        in_domain("status", ("active", "closed")),
+        in_range("price", 0.0, 100.0),
+        matches("email", r"^[^@]+@[^@]+\.[a-z]+$"),
+        unique("id"),
+        row_rule("price_even_dollars", F.col("price") % 1 == 0, ("price",)),
+    ]
+
+
+def test_rule_violations(spark):
+    df = _df(spark)
+    rules = _rules()
+    v = apply_rules(df, rules, id_cols=("id",))
+    got = {(r["rule_name"], r["id"]) for r in v.collect()}
+    assert ("range_price", "r2") in got
+    assert ("domain_status", "r3") in got
+    assert ("not_null_status", "r4") in got
+    assert ("domain_status", "r4") in got  # null fails domain too
+    assert ("matches_email", "r4") in got
+    assert sum(1 for n, i in got if n == "unique_id" and i == "r5") == 1  # distinct pairs; both rows matched
+    # clean row appears nowhere
+    assert not any(i == "r1" for _, i in got)
+
+
+def test_rule_verdicts(spark):
+    df = _df(spark)
+    rules = _rules()
+    v = apply_rules(df, rules, id_cols=("id",))
+    verdicts = {r["rule_name"]: r for r in rule_verdicts(df, v, rules).collect()}
+    assert len(verdicts) == len(rules)
+    assert verdicts["unique_id"]["n_violations"] == 2  # both dup rows
+    assert verdicts["price_even_dollars"]["passed"]  # all prices integral
+    assert not verdicts["range_price"]["passed"]
+    assert all(r["n_rows"] == 6 for r in verdicts.values())
+
+
+def test_single_scan_for_row_rules(spark):
+    df = _df(spark)
+    row_only = [r for r in _rules() if not hasattr(r, "cols")]
+    plan = apply_rules(df, row_only, id_cols=("id",))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 1  # all row rules share one scan
