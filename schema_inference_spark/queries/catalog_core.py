@@ -298,6 +298,52 @@ FROM h, tot ORDER BY bucket
 """
 
 
+# --- KS drift statistic fully relational (CDF diff via bucket-ordered window) ---
+
+
+def quantity_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            (F.col("l_quantity").cast("int") - 1).alias("bucket"),
+            (F.col("l_orderkey") % 2 == 0).alias("side_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("side_a"), 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("side_a"), 0).otherwise(1)).alias("cnt_b"),
+        )
+    )
+    tot = h.agg(F.sum("cnt_a").alias("ta"), F.sum("cnt_b").alias("tb"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = (
+        h.crossJoin(F.broadcast(tot))
+        .withColumn("cdf_a", F.sum("cnt_a").over(w) / F.col("ta"))
+        .withColumn("cdf_b", F.sum("cnt_b").over(w) / F.col("tb"))
+    )
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))), 8).alias("ks_stat"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+KS_SQL = """
+WITH h AS (
+  SELECT (l_quantity::INT - 1) AS bucket,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS cnt_a,
+         sum(CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE 1 END) AS cnt_b
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(cnt_a) AS ta, sum(cnt_b) AS tb FROM h),
+cdf AS (
+  SELECT bucket,
+         sum(cnt_a) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) / ta AS cdf_a,
+         sum(cnt_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) / tb AS cdf_b
+  FROM h, tot
+)
+SELECT round(max(abs(cdf_a - cdf_b)), 8) AS ks_stat, count(*) AS n_buckets FROM cdf
+"""
+
+
 # --- time windows (streaming-equivalent batch agg; epoch output for parity) ---
 
 
@@ -530,6 +576,7 @@ SPECS = [
     QuerySpec("distinct_parts_by_flag", distinct_parts_by_flag, DISTINCT_SQL, "exact distinct"),
     QuerySpec("price_histogram", price_histogram, HIST_SQL, "fixed-edge histogram"),
     QuerySpec("quantity_drift_psi", quantity_drift_psi, PSI_SQL, "PSI drift in SQL"),
+    QuerySpec("quantity_drift_ks", quantity_drift_ks, KS_SQL, "KS drift in SQL"),
     QuerySpec("hourly_event_windows", hourly_event_windows, HOURLY_SQL, "time windows"),
     QuerySpec("user_session_counts", user_session_counts, SESSION_SQL, "sessionization"),
     QuerySpec("event_sample_sorted", event_sample_sorted, SORTED_SQL, "multi-col sort+limit"),

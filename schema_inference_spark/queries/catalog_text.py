@@ -169,8 +169,60 @@ SELECT doc_id, {_FP} AS simhash FROM balances ORDER BY doc_id
 """
 
 
+def doc_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: MinHash-LSH candidates -> exact k-shingle
+    Jaccard verification (threshold 0 keeps all candidates with scores)."""
+    from schema_inference_spark.operators.dedup import jaccard_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, "doc_id", "text", n_perm=4, band_size=2)
+    return jaccard_verified_pairs(docs, cands, "doc_id", "text", k=3, threshold=0.0).orderBy(
+        "id_a", "id_b"
+    )
+
+
+from schema_inference_spark.functions.hashing import shingles_sql  # noqa: E402
+
+VERIFIED_DUPS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {minhash_sql('text', 0)} AS mh0, {minhash_sql('text', 1)} AS mh1,
+         {minhash_sql('text', 2)} AS mh2, {minhash_sql('text', 3)} AS mh3
+  FROM documents
+), buckets AS (
+  SELECT doc_id, 0 AS band_id, mh0::VARCHAR || ',' || mh1::VARCHAR AS band_sig FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, mh2::VARCHAR || ',' || mh3::VARCHAR AS band_sig FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+  WHERE a.band_sig IS NOT NULL AND a.band_sig != ''
+), members AS (
+  SELECT DISTINCT id FROM (SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand)
+), shingle_rows AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql('text', 3)}) AS shingle
+  FROM documents JOIN members ON doc_id = id
+), sizes AS (SELECT doc_id, count(*) AS n FROM shingle_rows GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingle_rows s1 ON s1.doc_id = c.id_a
+  JOIN shingle_rows s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter i JOIN sizes na ON na.doc_id = i.id_a JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE round(n_inter / (na.n + nb.n - n_inter), 6) >= 0.0
+ORDER BY id_a, id_b
+"""
+
+
 SPECS = [
     QuerySpec("doc_token_stats", doc_token_stats, TOKEN_STATS_SQL, "token counting"),
+    QuerySpec("doc_verified_near_dups", doc_verified_near_dups, VERIFIED_DUPS_SQL,
+              "LSH candidates + exact Jaccard verification"),
     QuerySpec("doc_quality_by_source", doc_quality_by_source, QUALITY_SQL, "quality scoring"),
     QuerySpec("doc_lang_id", doc_lang_id, LANG_ID_SQL, "language-ID heuristic"),
     QuerySpec("doc_exact_dups", doc_exact_dups, EXACT_DUPS_SQL, "exact dedup"),
