@@ -29,10 +29,18 @@ HEADLINE = [
     "top_orders_per_segment",
     "distinct_parts_by_flag",
     "quantity_drift_psi",
+    "quantity_drift_ks",
     "hourly_event_windows",
     "user_session_counts",
     "shape_counts",
     "value_type_histogram",
+    "error_asof_last_click",
+    "doc_minhash_signatures",
+    "doc_simhash",
+    "embedding_topk_cosine",
+    "embedding_topk_ivf",
+    "orders_rule_checks",
+    "lineitem_generic_profile",
 ]
 
 

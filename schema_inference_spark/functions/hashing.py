@@ -57,23 +57,57 @@ def shingles_sql(expr: str, k: int = 3) -> str:
 
 
 # --- MinHash ---------------------------------------------------------------
+#
+# Standard universal-hash MinHash: shingles are hashed ONCE (md5 -> 60-bit),
+# then each permutation is a cheap affine map (a_i * h + b_i) mod P over the
+# base hashes — one md5 per shingle total instead of one per (shingle, perm).
+# P = 2^31-1 keeps every product inside int64 (ANSI-safe in Spark, exact in
+# DuckDB), and the (a, b) constants derive deterministically from the seed.
+
+MINHASH_P = 2147483647  # 2^31 - 1 (prime)
+
+
+def minhash_perm_consts(seed: int) -> tuple[int, int]:
+    a = ((1103515245 * (seed + 1) + 12345) % MINHASH_P) | 1
+    b = (2654435761 * (seed + 1)) % MINHASH_P
+    return a, b
+
+
+def _perm_expr(base: Column, seed: int) -> Column:
+    a, b = minhash_perm_consts(seed)
+    return (F.lit(a) * (base % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
+
+
+def shingle_hashes_expr(col: Column, k: int = 3) -> Column:
+    """Base 60-bit hashes of the k-shingles (materialize once per row)."""
+    return F.transform(
+        shingles_expr(col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+    )
 
 
 def minhash_expr(col: Column, seed: int, k: int = 3) -> Column:
-    """One MinHash permutation: min over shingles of md5(seed || ':' || shingle)."""
-    hashed = F.transform(
-        shingles_expr(col, k),
-        lambda s: F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, 15), 16, 10).cast(
-            "bigint"
-        ),
+    """One MinHash permutation (prefer minhash_signatures for many perms —
+    it shares the base-hash array across permutations)."""
+    return F.array_min(F.transform(shingle_hashes_expr(col, k), lambda h: _perm_expr(h, seed)))
+
+
+def minhash_from_hashes(hashes_col: Column, seed: int) -> Column:
+    return F.array_min(F.transform(hashes_col, lambda h: _perm_expr(h, seed)))
+
+
+def shingle_hashes_sql(expr: str, k: int = 3) -> str:
+    return (
+        f"list_transform({shingles_sql(expr, k)}, "
+        f"s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)"
     )
-    return F.array_min(hashed)
 
 
 def minhash_sql(expr: str, seed: int, k: int = 3) -> str:
+    a, b = minhash_perm_consts(seed)
     return (
-        f"list_min(list_transform({shingles_sql(expr, k)}, "
-        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT))"
+        f"list_min(list_transform({shingle_hashes_sql(expr, k)}, "
+        f"h -> ({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}))"
     )
 
 

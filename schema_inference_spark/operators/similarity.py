@@ -117,17 +117,17 @@ def ivf_assignments(
     no shuffle. At scale the assignment becomes the table's cluster/partition
     key, so a query probes 1/k of the data (see ``cosine_topk_ivf``).
     """
-    sims = [
-        (cid, cosine_expr(F.col(vec_col), query_vector_literal(vec), decimals=9))
-        for cid, vec in centroids
-    ]
-    best_id = F.lit(sims[0][0])
-    best_sim = sims[0][1]
-    for cid, s in sims[1:]:  # strict > keeps the lowest centroid id on ties
-        cond = s > best_sim
-        best_id = F.when(cond, F.lit(cid)).otherwise(best_id)
-        best_sim = F.when(cond, s).otherwise(best_sim)
-    return df.withColumn("centroid_id", best_id)
+    # sims materialized as ONE array column: a chained when()-argmax would
+    # nest each (interpreted) cosine fold exponentially many times.
+    # array_position of the max = FIRST max index = lowest centroid id on
+    # ties (centroids are cid-ordered) — same tie semantics as a strict >.
+    sims = F.array(
+        *[cosine_expr(F.col(vec_col), query_vector_literal(vec), decimals=9) for _, vec in centroids]
+    )
+    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    with_sims = df.withColumn("_sims", sims)
+    pos = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
+    return with_sims.withColumn("centroid_id", F.element_at(cids, pos.cast("int"))).drop("_sims")
 
 
 def ivf_assignment_sql(
