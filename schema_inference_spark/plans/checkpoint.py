@@ -22,20 +22,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CHECKPOINT_SCHEMA = (
-    "part int, status string, run_id string, n_rows long, n_violations long, n_checks_failed int"
+    "part int, status string, run_id string, n_rows long, n_violations long, "
+    "n_checks_failed int, wall_sec double"
 )
 
 
-def write_checkpoint(verdicts: DataFrame, path: str, run_id: str) -> DataFrame:
-    """Aggregate verdicts to one lineage row per partition and append."""
-    ckpt = verdicts.groupBy("part").agg(
-        F.when(F.sum(F.when(F.col("passed"), 0).otherwise(1)) == 0, F.lit("validated"))
-        .otherwise(F.lit("failed"))
-        .alias("status"),
-        F.max("n_rows").alias("n_rows"),
-        F.sum("n_violations").alias("n_violations"),
-        F.sum(F.when(F.col("passed"), 0).otherwise(1)).cast("int").alias("n_checks_failed"),
-    ).withColumn("run_id", F.lit(run_id))
+def write_checkpoint(
+    verdicts: DataFrame, path: str, run_id: str, wall_sec: float = 0.0
+) -> DataFrame:
+    """Aggregate verdicts to one lineage row per partition and append.
+    ``wall_sec`` records the partition's validation wall time (metrics per
+    north_rule lineage)."""
+    ckpt = (
+        verdicts.groupBy("part")
+        .agg(
+            F.when(F.sum(F.when(F.col("passed"), 0).otherwise(1)) == 0, F.lit("validated"))
+            .otherwise(F.lit("failed"))
+            .alias("status"),
+            F.max("n_rows").alias("n_rows"),
+            F.sum("n_violations").alias("n_violations"),
+            F.sum(F.when(F.col("passed"), 0).otherwise(1)).cast("int").alias("n_checks_failed"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("wall_sec", F.lit(float(wall_sec)))
+    )
     ckpt.write.mode("append").parquet(path)
     return ckpt
 

@@ -1,0 +1,66 @@
+"""Partition-at-a-time validation: the production execution shape.
+
+At 10^12 rows a single all-partitions job is operationally wrong — the unit
+of work, retry, and lineage is the partition. This runner validates each
+not-yet-checkpointed partition as its own bounded job, appending one lineage
+row (status + row/violation counts + wall seconds + rows/sec) per partition
+as it completes, so a killed run resumes exactly at the next partition
+(north_rule: "re-runs skip validated partitions").
+
+Partition pruning makes each iteration cheap: the ``part = <p>`` filter
+reaches the parquet/Iceberg scan, so each job reads only its partition.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schema_inference_spark.plans.checkpoint import completed_parts, write_checkpoint
+from schema_inference_spark.plans.validation import ValidationConfig, run_validation
+
+
+def run_partitioned_validation(
+    spark: SparkSession,
+    images: DataFrame,
+    captions: DataFrame,
+    checkpoint_path: str,
+    config: ValidationConfig | None = None,
+    snapshot_profile: DataFrame | None = None,
+    run_id: str = "incremental",
+    part_col: str = "part",
+) -> list[dict]:
+    """Validate remaining partitions one job at a time; returns a summary
+    dict per processed partition (already-checkpointed ones are skipped)."""
+    done = completed_parts(spark, checkpoint_path)
+    done_set = {r["part"] for r in done.collect()} if done is not None else set()
+    all_parts = sorted(
+        r["part"] for r in images.select(part_col).distinct().collect()
+    )
+    summaries: list[dict] = []
+    for p in all_parts:
+        if p in done_set:
+            continue
+        t0 = time.perf_counter()
+        part_images = images.where(F.col(part_col) == p)
+        part_captions = captions.where(F.col(part_col) == p)
+        res = run_validation(
+            spark,
+            part_images,
+            part_captions,
+            config,
+            snapshot_profile=snapshot_profile,
+            materialize=True,
+        )
+        verdicts = res.verdicts.persist()
+        verdicts.count()  # all heavy work lands inside the timed window
+        wall = time.perf_counter() - t0
+        ckpt_rows = write_checkpoint(verdicts, checkpoint_path, run_id, wall_sec=wall).collect()
+        verdicts.unpersist()
+        res.violations.unpersist()
+        row = ckpt_rows[0].asDict() if ckpt_rows else {"part": p, "n_rows": 0, "wall_sec": wall}
+        row["rows_per_sec"] = round(row.get("n_rows", 0) / wall, 1) if wall > 0 else 0.0
+        summaries.append(row)
+    return summaries
