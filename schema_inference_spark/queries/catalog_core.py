@@ -565,8 +565,34 @@ def partkey_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact percentiles (interpolated; verified identical to quantile_cont) ---
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL, "A1-A4: grouped agg, decimal-exact"),
+    QuerySpec("price_percentiles", price_percentiles, PERCENTILES_SQL, "exact percentiles"),
     QuerySpec("q3_topk_revenue", q3_topk_revenue, Q3_SQL, "3-way join + top-k"),
     QuerySpec("orders_with_late_lines", orders_with_late_lines, LATE_SQL, "left-semi join"),
     QuerySpec("customers_without_orders", customers_without_orders, NO_ORDERS_SQL, "anti join"),

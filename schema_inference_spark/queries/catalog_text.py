@@ -219,8 +219,36 @@ ORDER BY id_a, id_b
 """
 
 
+def token_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top tokens by document frequency (the DF side of TF-IDF): exploded
+    distinct (doc, token) pairs -> hash-agg count -> top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TOKEN_DF_SQL = """
+SELECT token, count(*) AS df
+FROM (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents
+)
+WHERE token != ''
+GROUP BY token ORDER BY df DESC, token ASC LIMIT 20
+"""
+
+
 SPECS = [
     QuerySpec("doc_token_stats", doc_token_stats, TOKEN_STATS_SQL, "token counting"),
+    QuerySpec("token_document_frequency", token_document_frequency, TOKEN_DF_SQL,
+              "document frequency (TF-IDF building block)"),
     QuerySpec("doc_verified_near_dups", doc_verified_near_dups, VERIFIED_DUPS_SQL,
               "LSH candidates + exact Jaccard verification"),
     QuerySpec("doc_quality_by_source", doc_quality_by_source, QUALITY_SQL, "quality scoring"),

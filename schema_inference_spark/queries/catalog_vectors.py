@@ -88,6 +88,32 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 """
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long format (label, pos, centroid) — one
+    k-means assignment-step aggregation via posexplode (codegen'd, partial
+    aggregation; the IVF 'training' path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+        .where(F.col("pos") < 4)  # first dims are enough for the oracle check
+        .orderBy("label", "pos")
+    )
+
+
+CENTROIDS_SQL = """
+SELECT label, pos, round(avg(val), 6) AS centroid
+FROM (
+  SELECT label, unnest(embedding)::DOUBLE AS val,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+)
+WHERE pos < 4
+GROUP BY label, pos ORDER BY label, pos
+"""
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     self_norm = cosine_expr(F.col("embedding"), F.col("embedding"))
@@ -178,4 +204,6 @@ SPECS = [
     QuerySpec("embedding_near_dups", embedding_near_dups, NEAR_DUP_SQL, "cosine near-dup pairs"),
     QuerySpec("ann_bucket_histogram", ann_bucket_histogram, BUCKET_HIST_SQL, "LSH bucket stats"),
     QuerySpec("embedding_label_stats", embedding_label_stats, LABEL_STATS_SQL, "vector profile"),
+    QuerySpec("embedding_label_centroids", embedding_label_centroids, CENTROIDS_SQL,
+              "k-means assignment-step centroids"),
 ]
