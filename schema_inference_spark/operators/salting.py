@@ -29,7 +29,7 @@ def salted_exemplars(
     n_salts: int = 16,
 ) -> DataFrame:
     """DataFrame[key, n_rows, exemplars array] with at most k exemplars per
-    key (the k smallest by value — deterministic), hot-key safe."""
+    key (the k smallest DISTINCT values — deterministic), hot-key safe."""
     salt = F.pmod(F.xxhash64(F.col(exemplar_col)), F.lit(n_salts)).alias("_salt")
     phase1 = (
         df.select(key, F.col(exemplar_col).alias("_ex"), salt)

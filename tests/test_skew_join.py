@@ -4,7 +4,6 @@ this test proves a hot-key sort-merge join actually gets split at runtime
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 SKEW_CONFS = {
