@@ -66,13 +66,20 @@ def phash_hist_agg(n_buckets: int = PHASH_BUCKETS) -> Column:
     return F.array(*counts).alias("phash_hist")
 
 
-def profile_table(df: DataFrame, numeric_cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, numeric_cols: list[str] | None = None, exact_distinct: bool = True
+) -> DataFrame:
     """Generic long-format single-pass profile for ANY table:
     one row per (column, metric): n_rows / n_null / n_distinct for every
     column, min / max for numeric columns. All metrics are commutative
     partials -> one aggregation; values in DECIMAL(30,6) for engine-exact
     comparison. (The image-specific ``profile_images`` keeps its wide,
     histogram-bearing shape; this is the open API for arbitrary tables.)
+
+    ``exact_distinct=False`` switches n_distinct to HLL
+    (approx_count_distinct) — the scale path: exact multi-column distinct
+    plans expand the input once per distinct column, HLL keeps the pass at
+    one sketch per column with no expansion.
     """
     if numeric_cols is None:
         numeric_cols = [
@@ -85,7 +92,10 @@ def profile_table(df: DataFrame, numeric_cols: list[str] | None = None) -> DataF
         aggs.append(
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__null__{c}")
         )
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist__{c}"))
+        dist = (
+            F.countDistinct(F.col(c)) if exact_distinct else F.approx_count_distinct(F.col(c))
+        )
+        aggs.append(dist.alias(f"__dist__{c}"))
     for c in numeric_cols:
         aggs.append(F.min(F.col(c).cast("decimal(30,6)")).alias(f"__min__{c}"))
         aggs.append(F.max(F.col(c).cast("decimal(30,6)")).alias(f"__max__{c}"))
