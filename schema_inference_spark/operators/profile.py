@@ -72,8 +72,10 @@ def profile_table(
     """Generic long-format single-pass profile for ANY table:
     one row per (column, metric): n_rows / n_null / n_distinct for every
     column, min / max for numeric columns. All metrics are commutative
-    partials -> one aggregation; values in DECIMAL(30,6) for engine-exact
-    comparison. (The image-specific ``profile_images`` keeps its wide,
+    partials -> one aggregation; values are DOUBLE (exact for counts <2^53
+    and for double/int source columns) so the DuckDB oracle produces the
+    bit-identical float64 — DECIMAL outputs hash differently per engine.
+    (The image-specific ``profile_images`` keeps its wide,
     histogram-bearing shape; this is the open API for arbitrary tables.)
 
     ``exact_distinct=False`` switches n_distinct to HLL
@@ -97,25 +99,25 @@ def profile_table(
         )
         aggs.append(dist.alias(f"__dist__{c}"))
     for c in numeric_cols:
-        aggs.append(F.min(F.col(c).cast("decimal(30,6)")).alias(f"__min__{c}"))
-        aggs.append(F.max(F.col(c).cast("decimal(30,6)")).alias(f"__max__{c}"))
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"__min__{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"__max__{c}"))
     wide = df.agg(*aggs)
 
     entries = [
         F.struct(F.lit(c).alias("column"), F.lit(m).alias("metric"),
-                 F.col(f"__{tag}__{c}").cast("decimal(30,6)").alias("value"))
+                 F.col(f"__{tag}__{c}").cast("double").alias("value"))
         for c in df.columns
         for m, tag in (("n_null", "null"), ("n_distinct", "dist"))
     ]
     entries += [
         F.struct(F.lit(c).alias("column"), F.lit(m).alias("metric"),
-                 F.col(f"__{tag}__{c}").cast("decimal(30,6)").alias("value"))
+                 F.col(f"__{tag}__{c}").cast("double").alias("value"))
         for c in numeric_cols
         for m, tag in (("min", "min"), ("max", "max"))
     ]
     entries.append(
         F.struct(F.lit("*").alias("column"), F.lit("n_rows").alias("metric"),
-                 F.col("__n_rows").cast("decimal(30,6)").alias("value"))
+                 F.col("__n_rows").cast("double").alias("value"))
     )
     return wide.select(F.explode(F.array(*entries)).alias("e")).select(
         "e.column", "e.metric", "e.value"

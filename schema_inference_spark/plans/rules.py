@@ -131,8 +131,8 @@ def rule_verdicts(df: DataFrame, violations: DataFrame, rules: list) -> DataFram
         grid.join(counts, "rule_name", "left")
         .select(
             "rule_name",
-            F.lit(n_rows).alias("n_rows"),
-            F.coalesce("n_violations", F.lit(0)).alias("n_violations"),
+            F.lit(n_rows).cast("bigint").alias("n_rows"),
+            F.coalesce("n_violations", F.lit(0)).cast("bigint").alias("n_violations"),
             (F.coalesce("n_violations", F.lit(0)) == 0).alias("passed"),
         )
     )

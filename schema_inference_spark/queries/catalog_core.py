@@ -5,6 +5,16 @@ driver's TPC-H-ish tables, plus the join/window operators the north_rule
 adds. Money flows through DECIMAL(18,2) on both engines so sums are exact;
 ratios are rounded; percents use integer division (the reference's
 CommonUtils.java:245-251 semantics).
+
+Output-type contract (the round-1 hash lesson): final result columns are
+only string / bigint / int / double / boolean / epoch-bigint — never
+DECIMAL and never a DuckDB HUGEINT. DuckDB widens sum(DECIMAL(18,2)) to
+DECIMAL(38,2) and integer sums to HUGEINT, which the driver's value hash
+renders differently from Spark's decimal(28,2)/bigint (and HUGEINT/DECIMAL
+become float64 in pandas). So every decimal aggregate finishes with an
+exact ::DOUBLE cast on BOTH engines (the summed value is exact decimal,
+cast-to-nearest-double is deterministic and identical), and every DuckDB
+integer sum / integer division carries ::BIGINT.
 """
 
 from __future__ import annotations
@@ -29,11 +39,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
-            ).cast("decimal(30,4)").alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -42,9 +52,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity::DECIMAL(18,2)) AS sum_qty,
-       sum(l_extendedprice::DECIMAL(18,2)) AS sum_base_price,
-       sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4) AS sum_disc_price,
+       sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -60,30 +70,38 @@ def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    # Top-k selection happens on the EXACT decimal revenue; only the final
+    # projection casts to double, so boundary ties can't change the result set.
+    topk = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount")))
-            .cast("decimal(30,4)")
-            .alias("revenue")
+            .alias("revenue_dec")
         )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .orderBy(F.desc("revenue_dec"), F.asc("l_orderkey"))
         .limit(10)
     )
+    return topk.select(
+        "l_orderkey", F.col("revenue_dec").cast("double").alias("revenue")
+    ).orderBy("l_orderkey")
 
 
 Q3_SQL = """
-SELECT l_orderkey,
-       sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DECIMAL(30,4) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY l_orderkey
-ORDER BY revenue DESC, l_orderkey ASC
-LIMIT 10
+SELECT l_orderkey, revenue_dec::DOUBLE AS revenue
+FROM (
+  SELECT l_orderkey,
+         sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS revenue_dec
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY l_orderkey
+  ORDER BY revenue_dec DESC, l_orderkey ASC
+  LIMIT 10
+)
+ORDER BY l_orderkey
 """
 
 
@@ -167,15 +185,15 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("c_mktsegment", "rn", "o_orderkey", _dec("o_totalprice").alias("totalprice"))
+        .select("c_mktsegment", "rn", "o_orderkey", F.col("o_totalprice").alias("totalprice"))
         .orderBy("c_mktsegment", "rn")
     )
 
 
 TOP_PER_SEG_SQL = """
-SELECT c_mktsegment, rn, o_orderkey, totalprice
+SELECT c_mktsegment, rn::INT AS rn, o_orderkey, totalprice
 FROM (
-  SELECT c_mktsegment, o_orderkey, o_totalprice::DECIMAL(18,2) AS totalprice,
+  SELECT c_mktsegment, o_orderkey, o_totalprice AS totalprice,
          row_number() OVER (PARTITION BY c_mktsegment
                             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
   FROM orders JOIN customer ON o_custkey = c_custkey
@@ -200,7 +218,7 @@ def priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRIORITY_SHARE_SQL = """
 WITH counts AS (SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority)
-SELECT o_orderpriority, n, (n * 100) // (SELECT sum(n) FROM counts) AS percent
+SELECT o_orderpriority, n, ((n * 100) // (SELECT sum(n) FROM counts))::BIGINT AS percent
 FROM counts ORDER BY o_orderpriority
 """
 
@@ -356,15 +374,15 @@ def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("value")).alias("sum_value"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
         )
         .orderBy("hour_epoch", "event_type")
     )
 
 
 HOURLY_SQL = """
-SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
-       count(*) AS n, sum(value::DECIMAL(18,2)) AS sum_value
+SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_epoch, event_type,
+       count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
 """
 
@@ -401,7 +419,7 @@ WITH flagged AS (
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -411,15 +429,18 @@ FROM sess GROUP BY user_id ORDER BY user_id
 
 def event_sample_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Sort and project the RAW double: a post-sort decimal cast would let
+    # rows that tie after rounding enter/leave the limit differently per
+    # engine (DuckDB resolves ORDER BY aliases to the casted output).
     return (
         ev.orderBy("event_type", F.desc("value"), "event_id")
         .limit(100)
-        .select("event_id", "event_type", _dec("value").alias("value"))
+        .select("event_id", "event_type", "value")
     )
 
 
 SORTED_SQL = """
-SELECT event_id, event_type, value::DECIMAL(18,2) AS value
+SELECT event_id, event_type, value
 FROM events ORDER BY event_type, value DESC, event_id LIMIT 100
 """
 
@@ -432,16 +453,16 @@ def event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("null_props"),
-        F.min(_dec("value")).alias("min_value"),
-        F.max(_dec("value")).alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
         F.countDistinct("user_id").alias("n_users"),
     ).orderBy("event_type")
 
 
 EVENT_PROFILE_SQL = """
 SELECT event_type, count(*) AS n_rows,
-       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
-       min(value::DECIMAL(18,2)) AS min_value, max(value::DECIMAL(18,2)) AS max_value,
+       sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_props,
+       min(value) AS min_value, max(value) AS max_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -456,7 +477,7 @@ def error_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
     clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", _dec("value").alias("click_value")
+        "user_id", "ts", F.col("value").alias("click_value")
     )
     joined = asof_join(errors, clicks, key="user_id", ts="ts", right_value_cols=["click_value"])
     return joined.select(
@@ -469,7 +490,7 @@ def error_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ASOF_SQL = """
 SELECT l.event_id, l.user_id, floor(epoch(l.ts))::BIGINT AS ts_epoch,
-       r.value::DECIMAL(18,2) AS click_value_asof
+       r.value AS click_value_asof
 FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
 ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -484,7 +505,10 @@ def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(_dec("o_totalprice")).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -498,7 +522,7 @@ def order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_SQL = """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
-       count(*) AS n, sum(o_totalprice::DECIMAL(18,2)) AS total
+       count(*) AS n, sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY status, priority
 """
@@ -543,7 +567,7 @@ def user_bucket_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 PIVOT_SQL = (
     "SELECT (user_id % 10)::INT AS user_bucket, "
     + ", ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}" for t in EVENT_TYPES
+        f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES
     )
     + " FROM events GROUP BY 1 ORDER BY user_bucket"
 )

@@ -43,7 +43,7 @@ v AS (
   UNION ALL
   SELECT 'unique_o_orderkey', coalesce(sum(c), 0) FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
 )
-SELECT rule_name, n.n_rows AS n_rows, v.n_violations AS n_violations,
+SELECT rule_name, n.n_rows::BIGINT AS n_rows, v.n_violations::BIGINT AS n_violations,
        v.n_violations = 0 AS passed
 FROM v, n ORDER BY rule_name
 """
@@ -64,15 +64,15 @@ _PARTS = []
 for c in PROFILE_COLS:
     _PARTS.append(
         f"SELECT '{c}' AS \"column\", 'n_null' AS metric, "
-        f"(count(*) FILTER ({c} IS NULL))::DECIMAL(30,6) AS value FROM lineitem"
+        f"(count(*) FILTER ({c} IS NULL))::DOUBLE AS value FROM lineitem"
     )
     _PARTS.append(
-        f"SELECT '{c}', 'n_distinct', count(DISTINCT {c})::DECIMAL(30,6) FROM lineitem"
+        f"SELECT '{c}', 'n_distinct', count(DISTINCT {c})::DOUBLE FROM lineitem"
     )
 for c in PROFILE_NUMERIC:
-    _PARTS.append(f"SELECT '{c}', 'min', min({c}::DECIMAL(30,6)) FROM lineitem")
-    _PARTS.append(f"SELECT '{c}', 'max', max({c}::DECIMAL(30,6)) FROM lineitem")
-_PARTS.append("SELECT '*', 'n_rows', count(*)::DECIMAL(30,6) FROM lineitem")
+    _PARTS.append(f"SELECT '{c}', 'min', min({c})::DOUBLE FROM lineitem")
+    _PARTS.append(f"SELECT '{c}', 'max', max({c})::DOUBLE FROM lineitem")
+_PARTS.append("SELECT '*', 'n_rows', count(*)::DOUBLE FROM lineitem")
 
 GENERIC_PROFILE_SQL = "\nUNION ALL\n".join(_PARTS) + '\nORDER BY "column", metric'
 

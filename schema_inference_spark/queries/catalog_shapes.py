@@ -35,7 +35,7 @@ WITH shaped AS (
   FROM events WHERE props IS NOT NULL AND json_valid(props)
 ),
 counts AS (SELECT schema, count(*) AS count FROM shaped GROUP BY schema)
-SELECT schema, count, (count * 100) // (SELECT sum(count) FROM counts) AS percent
+SELECT schema, count, ((count * 100) // (SELECT sum(count) FROM counts))::BIGINT AS percent
 FROM counts ORDER BY schema
 """
 
@@ -51,7 +51,7 @@ WITH shaped AS (
   FROM events WHERE props IS NOT NULL AND json_valid(props)
 ),
 counts AS (SELECT schema, count(*) AS count FROM shaped GROUP BY schema)
-SELECT schema, count, (count * 100) // (SELECT sum(count) FROM counts) AS percent
+SELECT schema, count, ((count * 100) // (SELECT sum(count) FROM counts))::BIGINT AS percent
 FROM counts ORDER BY count DESC, schema ASC LIMIT 10
 """
 

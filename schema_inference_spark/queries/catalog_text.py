@@ -39,8 +39,8 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_STATS_SQL = f"""
 SELECT lang, count(*) AS n_docs,
-       sum({TX.token_count_sql('text')}) AS total_tokens,
-       sum({TX.bpe_ish_token_count_sql('text')}) AS total_subword_tokens,
+       sum({TX.token_count_sql('text')})::BIGINT AS total_tokens,
+       sum({TX.bpe_ish_token_count_sql('text')})::BIGINT AS total_subword_tokens,
        round(avg({TX.token_count_sql('text')}), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """

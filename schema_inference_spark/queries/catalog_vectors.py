@@ -103,7 +103,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CENTROIDS_SQL = """
-SELECT label, pos, round(avg(val), 6) AS centroid
+SELECT label, pos::INT AS pos, round(avg(val), 6) AS centroid
 FROM (
   SELECT label, unnest(embedding)::DOUBLE AS val,
          generate_subscripts(embedding, 1) - 1 AS pos
@@ -171,7 +171,7 @@ best AS (SELECT vec_id, cid,
 
 IVF_HIST_SQL = f"""
 WITH {_IVF_BASE}
-SELECT cid AS centroid_id, count(*) AS n FROM best WHERE rn = 1
+SELECT cid::INT AS centroid_id, count(*) AS n FROM best WHERE rn = 1
 GROUP BY 1 ORDER BY centroid_id
 """
 

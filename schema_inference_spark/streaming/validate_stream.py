@@ -39,7 +39,7 @@ def windowed_event_counts(
         .groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("win.start")).alias("hour_epoch"),

@@ -1,14 +1,24 @@
 """Local replica of the driver's correctness gate: run a QuerySpec's Spark
 side and its DuckDB oracle on the same sf dir and compare row count, schema
-(column names), and order-insensitive values. Stricter than the driver
-(exact value equality after canonicalization) so mismatches surface here
-first."""
+(column names), and order-insensitive values.
+
+Round-1 lesson (VERDICT.md #1): the driver's value hash is REPRESENTATION
+sensitive — DuckDB's widened DECIMAL(38,x) and HUGEINT results render
+differently from Spark's decimal/bigint (both become float64 through
+pandas), so value-identical results can still hash-mismatch. This harness
+therefore:
+
+* compares cells strictly as ``(type_name, str(value))`` with NO
+  canonicalization (no Decimal.normalize, no float rounding), and
+* LINTS the output types — any DECIMAL on either side, or any DuckDB
+  HUGEINT, is itself a failure, because those types hash unstably in the
+  driver even when the values agree. Final outputs must be
+  string/bigint/int/double/boolean/date/timestamp/arrays thereof; exact
+  decimal math belongs INSIDE the query with a final ::DOUBLE cast on both
+  engines.
+"""
 
 from __future__ import annotations
-
-import datetime
-import decimal
-import math
 
 import duckdb
 
@@ -23,35 +33,48 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
-    if v is None:
-        return ("none",)
-    if isinstance(v, decimal.Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(round(v, 9)))
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return ("t", v.isoformat())
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, int):
-        return ("i", v)
-    return v
+    """Type-sensitive cell canonicalization: Decimal('5.00'), 5.0 and 5 are
+    three DIFFERENT values here, exactly as in the driver's hash."""
+    if isinstance(v, list):
+        return ("list", tuple(_canon(x) for x in v))
+    return (type(v).__name__, str(v))
+
+
+_BANNED_SPARK = ("decimal",)
+
+
+def _type_problems(sdf, duck_res) -> list[str]:
+    problems = []
+    for name, dtype in sdf.dtypes:
+        if any(b in dtype for b in _BANNED_SPARK):
+            problems.append(
+                f"spark output column {name} is {dtype}: decimal outputs hash "
+                "unstably vs DuckDB's widened decimals — finish with .cast('double')"
+            )
+    arrow = duck_res.arrow()
+    for field in arrow.schema:
+        t = str(field.type)
+        if t.startswith("decimal"):
+            problems.append(
+                f"duckdb output column {field.name} is {t} (DECIMAL/HUGEINT): "
+                "pin with ::DOUBLE or ::BIGINT in the oracle SQL"
+            )
+    return problems
 
 
 def compare_query(spark, spec, sf_dir: str) -> list[str]:
-    """Returns a list of problem strings; empty means parity."""
+    """Returns a list of problem strings; empty means driver-grade parity."""
     problems: list[str] = []
     sdf = spec.fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
     spark_rows = sdf.collect()
 
     con = duck_con(sf_dir)
+    problems += _type_problems(sdf, con.execute(spec.sql))
     res = con.execute(spec.sql)
     duck_cols = sorted(d[0] for d in res.description)
-    duck_rows = res.fetchall()
     duck_names = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
 
     if spark_cols != duck_cols:
         problems.append(f"columns: spark={spark_cols} duck={duck_cols}")
