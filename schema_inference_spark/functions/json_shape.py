@@ -6,9 +6,13 @@ the corpus. Here:
 
 * ``flat_json_shape_expr`` — for flat JSON objects (string->scalar maps, the
   overwhelmingly common case and the shape of the driver's ``events.props``),
-  the shape is built entirely from Catalyst built-ins: ``from_json`` to a
-  string map, key sort, per-value type lattice, canonical-string assembly.
-  JVM-side, codegen'd, no Python.
+  ``from_json`` (JVM, codegen) extracts the string map and an Arrow-batched
+  pandas UDF assembles the canonical shape string with a Python port of the
+  type lattice. The previous all-Catalyst form used transform/array_sort
+  lambdas, which Spark 4.1.2 evaluates INTERPRETED per row (the 20x MinHash
+  lesson); the map hop + compiled-regex lattice measured ~1.7x faster per
+  core and adds no shuffle. Extraction semantics are unchanged (same
+  from_json), so oracle parity is preserved.
 * ``json_shape_of`` / ``make_shape_udf`` — the fully recursive version
   (nested objects, arrays with element-schema merging, reference
   SchemaGenerator.java:56-89) as an Arrow-batched pandas UDF for payloads the
@@ -22,6 +26,7 @@ the reference's ObjectNode value-equality groupBy (SeqFilesScan.java:297-316).
 from __future__ import annotations
 
 import json
+import re
 from typing import Any
 
 import pandas as pd
@@ -29,12 +34,53 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from schema_inference_spark.functions.type_inference import (
+from schema_inference_spark.functions.type_inference import (  # noqa: F401
     JSON_TYPE_FOR,
-    infer_json_type_expr,
     infer_json_type_sql,
     merge_schemas,
 )
+
+
+_LETTER_PAT = re.compile(r"[a-zA-Z]")
+_DIGITS_PAT = re.compile(r"^[0-9]+$")
+
+
+def _infer_json_type_py(v: str | None) -> str:
+    """Python port of ``infer_json_type_expr`` over an extracted string value
+    (InferJsonDatatype.java:11-27 rule chain; float/double collapse to
+    'number' in JSON-Schema so the after-last-dot quirk is moot here).
+    Guards keep Python's float() aligned with SQL try_cast semantics:
+    underscores ('1_0') and non-ASCII digits parse in Python but are NULL in
+    both engines' casts."""
+    if v is None:
+        return "null"
+    if v.lower() in ("true", "false"):
+        return "boolean"
+    if _LETTER_PAT.search(v):
+        return "string"
+    if _DIGITS_PAT.search(v):
+        return "integer"
+    if "_" not in v and v.isascii():
+        try:
+            float(v)
+            return "number"
+        except ValueError:
+            pass
+    return "null"
+
+
+_FLAT_PREFIX = '{"type":"object","properties":{'
+
+
+def _shape_of_map(m) -> str | None:
+    if m is None:
+        return None
+    if not isinstance(m, dict):  # arrow map batches may arrive as [(k, v)]
+        m = dict(m)
+    pieces = (
+        f'"{k}":{{"type":"{_infer_json_type_py(m[k])}"}}' for k in sorted(m)
+    )
+    return _FLAT_PREFIX + ",".join(pieces) + "}}"
 
 
 def flat_json_shape_expr(col: Column) -> Column:
@@ -43,29 +89,13 @@ def flat_json_shape_expr(col: Column) -> Column:
     ``{"type":"object","properties":{"k":{"type":"integer"},...}}`` with keys
     sorted; null for unparseable rows (filtered like reference P4).
     """
-    # One transform over sorted (key, value) entries. Higher-order functions
-    # evaluate interpreted (outside whole-stage codegen), so the hot loop is
-    # kept to a single lambda over map_entries — no per-key element_at
-    # lookups, no repeated from_json evaluation.
     m = F.from_json(col, "map<string,string>")
-    entries = F.transform(
-        F.array_sort(F.map_entries(m)),
-        lambda e: F.concat(
-            F.lit('"'),
-            e["key"],
-            F.lit('":{"type":"'),
-            infer_json_type_expr(e["value"]),
-            F.lit('"}'),
-        ),
-    )
-    return F.when(
-        m.isNotNull(),
-        F.concat(
-            F.lit('{"type":"object","properties":{'),
-            F.array_join(entries, ","),
-            F.lit("}}"),
-        ),
-    )
+
+    @F.pandas_udf(T.StringType())
+    def _assemble(maps: pd.Series) -> pd.Series:
+        return maps.map(_shape_of_map)
+
+    return _assemble(m)
 
 
 def flat_json_shape_sql(col_sql: str) -> str:
@@ -119,9 +149,27 @@ def json_shape_of(value: Any) -> dict:
     return {"type": "null"}
 
 
+def _type_first(schema: dict) -> dict:
+    """Fixed serialization order: 'type' first, then 'items'/'properties'
+    (property NAMES sorted). Matches ``flat_json_shape_expr``'s literal
+    assembly so flat and recursive paths produce byte-identical canonical
+    strings for the same flat document (they are groupBy keys)."""
+    out: dict = {"type": schema["type"]}
+    if "items" in schema:
+        out["items"] = _type_first(schema["items"])
+    if "properties" in schema:
+        out["properties"] = {
+            k: _type_first(v) for k, v in sorted(schema["properties"].items())
+        }
+    return out
+
+
 def canonical_shape_string(value: Any) -> str:
-    """Canonical (sorted-key, compact) serialization of ``json_shape_of``."""
-    return json.dumps(json_shape_of(value), sort_keys=True, separators=(",", ":"))
+    """Canonical (type-first, sorted-property, compact) serialization of
+    ``json_shape_of``."""
+    return json.dumps(
+        _type_first(json_shape_of(value)), separators=(",", ":"), ensure_ascii=True
+    )
 
 
 def make_shape_udf():

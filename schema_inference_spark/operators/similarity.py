@@ -10,31 +10,79 @@
 * ``embedding_near_dup_pairs`` — all-pairs cosine within a blocking key
   (label/bucket), the embedding analog of LSH-verified dedup.
 
-The fold order of every dot product is the array order in BOTH engines
-(index-fold, not hash-agg), so Spark and DuckDB sums agree bit-for-bit
-before rounding.
+The fold order of every dot product is the array order in BOTH engines,
+so Spark and DuckDB sums agree bit-for-bit before rounding. Spark-side
+dots are an Arrow-batched numpy kernel (``_seq_dot``) that accumulates
+dimension-by-dimension — the SAME sequential IEEE-754 fold as DuckDB's
+``list_aggregate(..., 'sum')`` over ::DOUBLE elements, but vectorized
+across the whole Arrow batch (d numpy ops per batch instead of an
+interpreted per-row HOF: Spark 4.1.2 evaluates ``transform``/``aggregate``
+lambdas row-at-a-time interpreted — the round-1 20x MinHash lesson, and
+VERDICT r1 flagged cosine as the remaining offender).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
-def _dot(a: Column, b: Column) -> Column:
-    prods = F.transform(
-        F.sequence(F.lit(1), F.size(a)),
-        lambda i: F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double"),
-    )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+def _to_matrix(s: pd.Series) -> np.ndarray:
+    """Arrow list<float> batch -> (n, d) float64 matrix. float32 -> float64
+    is exact, matching DuckDB's elementwise ::DOUBLE cast."""
+    return np.array([np.asarray(v, dtype=np.float64) for v in s], dtype=np.float64)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot with strict left-to-right accumulation over dimensions:
+    acc_j = acc_{j-1} + a[:,j]*b[:,j], exactly DuckDB's list-sum fold (and
+    the old F.aggregate fold). NOT np.einsum/np.dot, whose pairwise/SIMD
+    summation changes the last ulp and would break oracle bit-parity."""
+    acc = np.zeros(a.shape[0])
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j] * b[:, j]
+    return acc
+
+
+def _cosine_pair_udf(a: Column, b: Column) -> Column:
+    # built per call: pandas_udf parses its return type against the ACTIVE
+    # session, so a module-level decorator would break import-before-session
+    @pandas_udf("double")
+    def _cos2(pa: pd.Series, pb: pd.Series) -> pd.Series:
+        ma, mb = _to_matrix(pa), _to_matrix(pb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = _seq_dot(ma, mb) / (
+                np.sqrt(_seq_dot(ma, ma)) * np.sqrt(_seq_dot(mb, mb))
+            )
+        return pd.Series(sim)
+
+    return _cos2(a, b)
+
+
+def cosine_to_query_udf(query_vec: list[float]):
+    """Column fn: cosine(vec_col, query_vec); the query vector ships once in
+    the serialized closure (executor-side broadcast), not as plan literals."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(_seq_dot(q[None, :], q[None, :])[0]))
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series) -> pd.Series:
+        m = _to_matrix(a)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = _seq_dot(m, np.broadcast_to(q, m.shape)) / (
+                np.sqrt(_seq_dot(m, m)) * qn
+            )
+        return pd.Series(sim)
+
+    return _cos
 
 
 def cosine_expr(a: Column, b: Column, decimals: int = 6) -> Column:
-    return F.round(_dot(a, b) / (_norm(a) * _norm(b)), decimals)
+    out = _cosine_pair_udf(a, b)
+    return F.round(out, decimals) if decimals is not None else out
 
 
 def dot_sql(a: str, b: str) -> str:
@@ -44,25 +92,25 @@ def dot_sql(a: str, b: str) -> str:
     )
 
 
-def cosine_sql(a: str, b: str, decimals: int = 6) -> str:
-    return (
-        f"round({dot_sql(a, b)} / "
-        f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})), {decimals})"
+def cosine_sql(a: str, b: str, decimals: int | None = 6) -> str:
+    raw = (
+        f"({dot_sql(a, b)} / "
+        f"(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
     )
-
-
-def query_vector_literal(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    return f"round({raw}, {decimals})" if decimals is not None else raw
 
 
 def cosine_topk(
     df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force top-k by cosine similarity to the query vector."""
-    q = query_vector_literal(query_vec)
+    """Brute-force top-k by cosine similarity to the query vector.
+
+    One Arrow-batched numpy projection + TakeOrderedAndProject; O(n*d),
+    zero shuffle, embarrassingly partition-parallel at any scale."""
+    cos = cosine_to_query_udf(query_vec)
     return (
-        df.select(id_col, cosine_expr(F.col(vec_col), q).alias("cosine_sim"))
+        df.select(id_col, F.round(cos(F.col(vec_col)), 6).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -112,38 +160,37 @@ def ivf_assignments(
     """IVF coarse quantization: assign each vector to its max-cosine centroid.
 
     ``centroids`` is a small driver-side list (k-means output in production;
-    any deterministic seed set works for the index structure) baked into the
-    plan as literals — the assignment pass is a single projection, no join,
-    no shuffle. At scale the assignment becomes the table's cluster/partition
-    key, so a query probes 1/k of the data (see ``cosine_topk_ivf``).
+    any deterministic seed set works for the index structure) shipped ONCE
+    as a (k, d) numpy matrix inside the UDF closure — an executor-side
+    broadcast, not k plan literals — so the assignment pass is a single
+    Arrow-batched projection (k*d vector ops per batch), no join, no
+    shuffle, and scales to thousands of centroids. At scale the assignment
+    becomes the table's cluster/partition key, so a query probes 1/k of the
+    data (see ``cosine_topk_ivf``).
+
+    Tie semantics: raw (unrounded) cosine; np.argmax takes the FIRST max =
+    lowest centroid id (centroids are cid-ordered), identical to the
+    oracle's row_number() ORDER BY s DESC, cid ASC. Both engines compute
+    the same sequential-fold doubles, so ties line up exactly.
     """
-    # sims materialized as ONE array column: a chained when()-argmax would
-    # nest each (interpreted) cosine fold exponentially many times.
-    # array_position of the max = FIRST max index = lowest centroid id on
-    # ties (centroids are cid-ordered) — same tie semantics as a strict >.
-    sims = F.array(
-        *[cosine_expr(F.col(vec_col), query_vector_literal(vec), decimals=9) for _, vec in centroids]
-    )
-    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    with_sims = df.withColumn("_sims", sims)
-    pos = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
-    return with_sims.withColumn("centroid_id", F.element_at(cids, pos.cast("int"))).drop("_sims")
+    centroids = sorted(centroids, key=lambda c: c[0])
+    cid_arr = np.asarray([cid for cid, _ in centroids], dtype=np.int32)
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)  # (k, d)
+    cnorms = np.sqrt(_seq_dot(cmat, cmat))
 
+    @pandas_udf("int")
+    def _assign(s: pd.Series) -> pd.Series:
+        m = _to_matrix(s)
+        norms = np.sqrt(_seq_dot(m, m))
+        sims = np.empty((m.shape[0], cmat.shape[0]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i in range(cmat.shape[0]):
+                sims[:, i] = _seq_dot(m, np.broadcast_to(cmat[i], m.shape)) / (
+                    norms * cnorms[i]
+                )
+        return pd.Series(cid_arr[np.argmax(sims, axis=1)])
 
-def ivf_assignment_sql(
-    centroids: list[tuple[int, list[float]]], vec: str = "embedding"
-) -> str:
-    """DuckDB expression computing the identical argmax-centroid assignment."""
-
-    def lit(v: list[float]) -> str:
-        return "[" + ", ".join(f"{x!r}::DOUBLE" for x in v) + "]"
-
-    best_id, best_sim = str(centroids[0][0]), cosine_sql(vec, lit(centroids[0][1]), 9)
-    for cid, cvec in centroids[1:]:
-        s = cosine_sql(vec, lit(cvec), 9)
-        best_id = f"(CASE WHEN {s} > {best_sim} THEN {cid} ELSE {best_id} END)"
-        best_sim = f"(CASE WHEN {s} > {best_sim} THEN {s} ELSE {best_sim} END)"
-    return best_id
+    return df.withColumn("centroid_id", _assign(F.col(vec_col)))
 
 
 def cosine_topk_ivf(

@@ -162,7 +162,7 @@ def embedding_ivf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_BASE = f"""
 c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
-sims AS (SELECT e.vec_id, c.cid, {cosine_sql('e.embedding', 'c.cvec', 9)} AS s
+sims AS (SELECT e.vec_id, c.cid, {cosine_sql('e.embedding', 'c.cvec', None)} AS s
          FROM embeddings e CROSS JOIN c),
 best AS (SELECT vec_id, cid,
                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
@@ -188,7 +188,7 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_TOPK_SQL = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 {_IVF_BASE},
-probe AS (SELECT cid FROM c, q ORDER BY {cosine_sql('cvec', 'qv', 9)} DESC, cid ASC LIMIT 2),
+probe AS (SELECT cid FROM c, q ORDER BY {cosine_sql('cvec', 'qv', None)} DESC, cid ASC LIMIT 2),
 cand AS (SELECT vec_id FROM best WHERE rn = 1 AND cid IN (SELECT cid FROM probe))
 SELECT e.vec_id, {cosine_sql('e.embedding', 'qv', 6)} AS cosine_sim
 FROM embeddings e JOIN cand USING (vec_id), q

@@ -28,9 +28,35 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one parquet table from a scale-factor directory."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Give a CPU-bound stage at least ``target`` input splits.
+
+    Parquet scans can't split below row-group granularity, so a small-file
+    table (the local test corpus is one row group per file) runs every
+    downstream projection/partial-aggregation single-threaded no matter how
+    many cores the session has. When the scan already yields >= target
+    splits — the production case, where a 100 TB table has thousands of
+    row groups — this is a NO-OP, so no shuffle is ever added at scale;
+    locally it costs one round-robin exchange of the (column-pruned) input
+    and buys cores-times-parallel compute.
+    """
+    sc = df.sparkSession.sparkContext
+    if target is None:
+        target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
+) -> DataFrame:
+    """Load one parquet table from a scale-factor directory.
+
+    ``parallelize`` applies :func:`ensure_min_partitions` (no-op whenever
+    the file layout already provides enough splits)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return ensure_min_partitions(df) if parallelize else df
 
 
 def load_tables(

@@ -111,3 +111,48 @@ def test_top_shapes_and_exemplars_and_merge(spark):
     # 'b' only in one shape -> kept.
     assert merged["properties"]["a"] == {"type": "string"}
     assert merged["properties"]["b"] == {"type": "string"}
+
+
+def test_flat_expr_equals_recursive_udf_on_flat_docs(spark):
+    """ADVICE r1: flat and recursive paths must emit byte-identical canonical
+    strings for the same flat document — they are groupBy keys."""
+    docs = [
+        '{"b": 1, "a": "x"}',
+        '{"z": true, "m": 2.5, "a": 7}',
+        '{}',
+        '{"only": "str"}',
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    flat = [
+        r["s"]
+        for r in df.select(flat_json_shape_expr(F.col("doc")).alias("s"))
+        .orderBy("doc")
+        .collect()
+    ]
+    udf = make_shape_udf()
+    rec = [
+        r["s"]
+        for r in df.select(udf(F.col("doc")).alias("s")).orderBy("doc").collect()
+    ]
+    assert flat == rec
+
+
+def test_python_lattice_matches_catalyst_lattice(spark):
+    """The pandas-UDF shape path ports infer_json_type_expr to Python; the
+    two must agree value-for-value on representative + adversarial strings."""
+    from schema_inference_spark.functions.json_shape import _infer_json_type_py
+    from schema_inference_spark.functions.type_inference import infer_json_type_expr
+
+    vals = [
+        "true", "FALSE", "tRuE", "abc", "a1", "123", "007", "",
+        "1.5", "-2.75", "1e10", "1.5e-3", ".5", "5.", "1.2.3", "--",
+        "12-34", "+42", "-0", "0.0001", "1_000", "NaN", "Infinity",
+        " 1.5", "1.5 ", "½", "١٢٣",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r["v"]: r["t"]
+        for r in df.select("v", infer_json_type_expr(F.col("v")).alias("t")).collect()
+    }
+    for v in vals:
+        assert _infer_json_type_py(v) == got[v], (v, _infer_json_type_py(v), got[v])
