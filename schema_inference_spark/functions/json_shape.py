@@ -172,6 +172,52 @@ def canonical_shape_string(value: Any) -> str:
     )
 
 
+def kv_value_schema(v: str | None) -> dict:
+    """Schema of one delimited-KV value (reference ProcessColumn.java:62-92 +
+    SchemaGenerator): empty/'null' -> null; values that are themselves JSON
+    objects/arrays recurse; scalars go through the type lattice (the
+    reference assembles a JSON doc embedding raw values, so Jackson's node
+    types and the lattice coincide)."""
+    if v is None:
+        return {"type": "null"}
+    v = v.strip()
+    if v == "" or v.lower() == "null":
+        return {"type": "null"}
+    if v[0] in "[{":
+        try:
+            return json_shape_of(json.loads(v))
+        except ValueError:
+            pass
+    return {"type": _infer_json_type_py(v)}
+
+
+def kv_schema_of(kv: dict) -> dict:
+    """Recursive JSON-Schema of a parsed ^C/^B KV payload — the analog of
+    the reference's per-row ObjectNode (ProcessStringColumnAsObjectNode.java
+    :24-41). Nested JSON values recurse, unlike the flat path."""
+    return {"type": "object", "properties": {k: kv_value_schema(v) for k, v in kv.items()}}
+
+
+def make_kv_shape_udf():
+    """Arrow-batched pandas UDF: map<string,string> KV column -> canonical
+    recursive shape string (handles nested-JSON values)."""
+
+    @F.pandas_udf(T.StringType())
+    def kv_shape_udf(kvs: pd.Series) -> pd.Series:
+        def one(kv):
+            if kv is None:
+                return None
+            if not isinstance(kv, dict):
+                kv = dict(kv)
+            return json.dumps(
+                _type_first(kv_schema_of(kv)), separators=(",", ":"), ensure_ascii=True
+            )
+
+        return kvs.map(one)
+
+    return kv_shape_udf
+
+
 def make_shape_udf():
     """Arrow-batched pandas UDF: JSON document string -> canonical shape string."""
 

@@ -29,11 +29,16 @@ KV_SEP = "\x02"  # ^B
 PAIR_SEP = "\x03"  # ^C
 
 
-def parse_delimited(df: DataFrame, col: str = "value") -> DataFrame:
+def parse_delimited(df: DataFrame, col: str = "value", drop_empty: bool = True) -> DataFrame:
     """Split ^A records and explode the ^C/^B KV payload into a map.
 
     Rows with != 3 fields or an empty payload are dropped (reference P1
-    null-filter semantics, ProcessTextColumn2.java:33-41 + P4)."""
+    null-filter semantics, ProcessTextColumn2.java:33-41 + P4).
+
+    ``drop_empty`` drops null/empty/'null' VALUES from the map (production
+    semantics, JsonUtils.checkAndProcessIfJson:93-105). Pass False to keep
+    them — the reference's schema-tree fixture (src/test/resources/json/
+    12.json) types empty values as 'null' instead of dropping them."""
     fields = F.split(F.col(col), FIELD_SEP)
     parsed = df.select(
         F.element_at(fields, 1).alias("ts"),
@@ -42,10 +47,10 @@ def parse_delimited(df: DataFrame, col: str = "value") -> DataFrame:
         F.size(fields).alias("_nf"),
     ).where((F.col("_nf") == 3) & (F.length("fvalue") > 0))
     kv = F.str_to_map(F.col("fvalue"), F.lit(PAIR_SEP), F.lit(KV_SEP))
-    # drop null/empty/'null' values (reference checkAndProcessIfJson,
-    # JsonUtils.java:93-105) via map_filter
-    cleaned = F.map_filter(kv, lambda _k, v: v.isNotNull() & (v != "") & (v != "null"))
-    return parsed.drop("_nf").withColumn("kv", cleaned)
+    if drop_empty:
+        # reference checkAndProcessIfJson, JsonUtils.java:93-105
+        kv = F.map_filter(kv, lambda _k, v: v.isNotNull() & (v != "") & (v != "null"))
+    return parsed.drop("_nf").withColumn("kv", kv)
 
 
 def kv_shape_expr(kv: Column) -> Column:
