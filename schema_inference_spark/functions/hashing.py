@@ -116,8 +116,15 @@ def minhash_signature_exprs(col: Column, n_perm: int = 8, k: int = 3) -> list[Co
 
 
 # --- SimHash ---------------------------------------------------------------
+#
+# 60-bit fingerprints (the full md5-derived 60-bit token hash, the repo's
+# cross-engine convention). Round 1 used 16 bits with 2 blocks: 256 buckets
+# per side makes the blocking self-join O((n/256)^2) and guarantees recall
+# only to Hamming distance 1. 60 bits gives 2^15+ buckets per 15-bit block
+# and the pigeonhole scheme in simhash_near_pairs guarantees recall to
+# n_blocks-1 differing bits.
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 60
 
 
 def simhash_bit_balance_aggs(n_bits: int = SIMHASH_BITS) -> list[Column]:
@@ -153,13 +160,14 @@ def simhash_sql(n_bits: int = SIMHASH_BITS) -> tuple[str, str]:
 
 
 def hamming_distance_expr(a: Column, b: Column, n_bits: int = SIMHASH_BITS) -> Column:
-    x = a.bitwiseXOR(b)
-    terms = [F.shiftright(x, i).bitwiseAND(F.lit(1)) for i in range(n_bits)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    """popcount(a XOR b) — one codegen'd instruction, any width <= 63 bits
+    (fingerprints are non-negative, so two's-complement popcount is exact)."""
+    del n_bits  # popcount covers the full word
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def hamming_distance_sql(a: str, b: str, n_bits: int = SIMHASH_BITS) -> str:
-    return "(" + " + ".join(f"((({a}) # ({b})) >> {i}) & 1" for i in range(n_bits)) + ")"
+    """DuckDB counterpart: xor() function ('#' is Postgres-only and DuckDB
+    rejects it — ADVICE r1), bit_count over the BIGINT result."""
+    del n_bits
+    return f"bit_count(xor(({a})::BIGINT, ({b})::BIGINT))"

@@ -194,35 +194,64 @@ def simhash_fingerprints(
     return balances.select(id_col, simhash_from_balances(n_bits).alias("simhash"))
 
 
+def simhash_block_bounds(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(shift, width) per block, covering all n_bits contiguously."""
+    base, extra = divmod(n_bits, n_blocks)
+    bounds, shift = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame,
     id_col: str,
     max_hamming: int = 2,
     n_bits: int = SIMHASH_BITS,
-    block_bits: int = 8,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming.
 
-    Blocking: pairs must agree on the top ``block_bits`` bits (both
-    half-band blocks), so the self-join is bucket-local, not all-pairs —
-    the standard rotate-and-block SimHash scheme reduced to two blocks for
-    16-bit fingerprints."""
-    lo = F.col("simhash").bitwiseAND(F.lit((1 << block_bits) - 1))
-    hi = F.shiftright("simhash", n_bits - block_bits)
-    fp = fingerprints.withColumn("blk_lo", lo).withColumn("blk_hi", hi)
-    a, b = fp.alias("a"), fp.alias("b")
-    pair_filter = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-    def _pairs(joined):
-        return joined.select(
+    Pigeonhole blocking (ADVICE r1): the fingerprint splits into
+    ``max_hamming + 1`` contiguous blocks, so any pair within distance
+    max_hamming agrees EXACTLY on at least one block — recall is guaranteed,
+    not probabilistic. One exploded (block_id, block_value, id) frame,
+    one equi-self-join on (block_id, block_value): at 60 bits each block
+    spans >= 60/(h+1) bits, so bucket counts grow with corpus size and the
+    join stays bucket-local; hot buckets (boilerplate) are ordinary skew
+    joins that AQE splits."""
+    n_blocks = max_hamming + 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright("simhash", shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("block_val"),
+            )
+            for i, (shift, width) in enumerate(simhash_block_bounds(n_bits, n_blocks))
+        ]
+    )
+    keyed = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("blk")
+    ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-
-    by_lo = _pairs(a.join(b, (F.col("a.blk_lo") == F.col("b.blk_lo")) & pair_filter))
-    by_hi = _pairs(a.join(b, (F.col("a.blk_hi") == F.col("b.blk_hi")) & pair_filter))
-    cand = by_lo.unionByName(by_hi).distinct()
+        .distinct()
+    )
     return cand.select(
         "id_a",
         "id_b",

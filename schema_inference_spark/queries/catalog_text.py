@@ -169,6 +169,38 @@ SELECT doc_id, {_FP} AS simhash FROM balances ORDER BY doc_id
 """
 
 
+def doc_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pigeonhole-blocked SimHash near-pairs (60-bit, 4 blocks, Hamming<=3).
+
+    The oracle computes ALL-pairs Hamming over the bit-identical DuckDB
+    fingerprints — matching it proves the blocked join loses zero recall
+    (pigeonhole guarantee), not just that both engines agree."""
+    from schema_inference_spark.operators.dedup import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs, "doc_id", "text")
+    return simhash_near_pairs(fps, "doc_id", max_hamming=3).orderBy("id_a", "id_b")
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+  FROM documents
+), hashed AS (
+  SELECT doc_id, {md5_long_sql('token')} AS token_hash FROM tokens WHERE token != ''
+), balances AS (
+  SELECT doc_id, {simhash_sql()[0]} FROM hashed GROUP BY doc_id
+), fps AS (
+  SELECT doc_id, {simhash_sql()[1]} AS simhash FROM balances
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def doc_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline: MinHash-LSH candidates -> exact k-shingle
     Jaccard verification (threshold 0 keeps all candidates with scores)."""
@@ -258,4 +290,6 @@ SPECS = [
     QuerySpec("doc_minhash_signatures", doc_minhash_signatures, MINHASH_SQL, "MinHash"),
     QuerySpec("doc_lsh_candidates", doc_lsh_candidates, LSH_CAND_SQL, "MinHash-LSH pairs"),
     QuerySpec("doc_simhash", doc_simhash, SIMHASH_Q_SQL, "SimHash fingerprints"),
+    QuerySpec("doc_simhash_near_pairs", doc_simhash_near_pairs, SIMHASH_PAIRS_SQL,
+              "pigeonhole-blocked SimHash near-pairs vs all-pairs oracle"),
 ]

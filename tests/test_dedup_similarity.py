@@ -117,3 +117,31 @@ def test_lsh_topk_contains_near_dup(emb_df):
 def test_embedding_near_dup_pairs(emb_df):
     pairs = embedding_near_dup_pairs(emb_df, threshold=0.99).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(5, 500)}
+
+
+def test_simhash_pigeonhole_recall_across_blocks(spark):
+    """ADVICE r1: pairs whose differing bits span MULTIPLE blocks must still
+    be found — pigeonhole (max_hamming+1 blocks) guarantees one agreeing
+    block. Plant fingerprints differing in bits from different 15-bit
+    blocks (60-bit space, max_hamming=3 -> 4 blocks)."""
+    from schema_inference_spark.operators.dedup import simhash_near_pairs
+
+    base = 0x0AB54A98CEB1F0A  # arbitrary 60-bit value
+    rows = [
+        (1, base),
+        (2, base ^ (1 << 3) ^ (1 << 17)),          # blocks 0 and 1 -> d=2
+        (3, base ^ (1 << 16) ^ (1 << 31) ^ (1 << 46)),  # blocks 1,2,3 -> d=3
+        (4, base ^ (1 << 0) ^ (1 << 15) ^ (1 << 30) ^ (1 << 45)),  # d=4: every block differs from row 1
+        (5, 0x3FFFFFFFFFFFFFF ^ base),             # far away
+    ]
+    fps = spark.createDataFrame(rows, "doc_id int, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(fps, "doc_id", max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 3
+    assert (1, 4) not in got  # distance 4 > max_hamming: correctly excluded
+    assert (1, 5) not in got
+    # rows 2 and 3 differ in bits {3,16,17,31,46} -> d=5, excluded
+    assert (2, 3) not in got
