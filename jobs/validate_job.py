@@ -38,12 +38,31 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
-    from schema_inference_spark.plans.checkpoint import filter_for_resume, write_checkpoint
+    from schema_inference_spark.plans.checkpoint import (
+        filter_for_resume,
+        unvalidated_parts,
+        write_checkpoint,
+    )
     from schema_inference_spark.plans.validation import ValidationConfig, run_validation
 
     # under spark-submit the session is provided/configured by the launcher
     spark = SparkSession.builder.getOrCreate()
+
+    def gate_from_checkpoint() -> int:
+        """Exit code from the FULL lineage table, not just this run: a
+        partition with no 'validated' row in any run fails the gate
+        (ADVICE r1 — a fully-checkpointed rerun must not mask failures)."""
+        if not args.checkpoint:
+            return 0
+        bad = unvalidated_parts(spark, args.checkpoint)
+        if bad is None:
+            return 0
+        n_bad = bad.count()
+        if n_bad:
+            print(f"gate: {n_bad} partition(s) have no successful validation")
+        return 1 if n_bad else 0
 
     images = spark.read.parquet(args.images)
     captions = spark.read.parquet(args.captions)
@@ -51,8 +70,8 @@ def main(argv: list[str] | None = None) -> int:
         images = filter_for_resume(spark, images, args.checkpoint)
         captions = filter_for_resume(spark, captions, args.checkpoint)
     if images.isEmpty():
-        print("all partitions already validated; nothing to do")
-        return 0
+        print("all partitions already validated; deriving gate from checkpoint")
+        return gate_from_checkpoint()
 
     snapshot_profile = spark.read.parquet(args.snapshot) if args.snapshot else None
     config = ValidationConfig(check_pixels=not args.no_pixels, psnr_min_db=args.psnr_min_db)
@@ -60,9 +79,17 @@ def main(argv: list[str] | None = None) -> int:
         spark, images, captions, config, snapshot_profile=snapshot_profile, materialize=True
     )
 
-    res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
-    res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
-    res.profile.write.mode("overwrite").parquet(f"{args.output}/profile")
+    # Append, tagged by run_id: a resumed run carries only the remaining
+    # partitions, so overwriting would destroy the prior runs' tables
+    # (ADVICE r1). Consumers read the union and can filter by run_id.
+    for name, df in (
+        ("violations", res.violations),
+        ("verdicts", res.verdicts),
+        ("profile", res.profile),
+    ):
+        df.withColumn("run_id", F.lit(args.run_id)).write.mode("append").parquet(
+            f"{args.output}/{name}"
+        )
     if args.checkpoint:
         write_checkpoint(res.verdicts, args.checkpoint, args.run_id)
 
@@ -71,6 +98,8 @@ def main(argv: list[str] | None = None) -> int:
     print(f"run {args.run_id}: {n} verdicts, {failed} failed checks; "
           f"schema problems: {res.schema_problems or 'none'}")
     res.violations.unpersist()
+    if args.checkpoint:
+        return 1 if (gate_from_checkpoint() or res.schema_problems) else 0
     return 1 if failed or res.schema_problems else 0
 
 

@@ -67,7 +67,7 @@ def phash_hist_agg(n_buckets: int = PHASH_BUCKETS) -> Column:
 
 
 def profile_table(
-    df: DataFrame, numeric_cols: list[str] | None = None, exact_distinct: bool = True
+    df: DataFrame, numeric_cols: list[str] | None = None, exact_distinct: bool = False
 ) -> DataFrame:
     """Generic long-format single-pass profile for ANY table:
     one row per (column, metric): n_rows / n_null / n_distinct for every
@@ -78,10 +78,11 @@ def profile_table(
     (The image-specific ``profile_images`` keeps its wide,
     histogram-bearing shape; this is the open API for arbitrary tables.)
 
-    ``exact_distinct=False`` switches n_distinct to HLL
-    (approx_count_distinct) — the scale path: exact multi-column distinct
-    plans expand the input once per distinct column, HLL keeps the pass at
-    one sketch per column with no expansion.
+    HLL (approx_count_distinct) is the DEFAULT for n_distinct — the scale
+    path: exact multi-column distinct plans EXPAND the input once per
+    distinct column, HLL keeps the pass at one sketch per column with no
+    expansion (plan-asserted in test_plan_shapes). ``exact_distinct=True``
+    is the opt-in for oracle-exact comparisons at test scale.
     """
     if numeric_cols is None:
         numeric_cols = [

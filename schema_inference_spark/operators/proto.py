@@ -70,6 +70,24 @@ def proto_hierarchy(schema: dict, root: str = "Event") -> dict[str, dict[str, st
     return out
 
 
+# the reference injects a hardcoded envelope message into every emitted
+# hierarchy (TransformProtobufHierarchy.createMetadataFileWriter:244-252):
+# the sequence-file row metadata (ts/hostname) + the hourly partition keys
+# (dt/h) that accompany each payload.
+METADATA_MESSAGE = "Metadata"
+METADATA_FIELDS = {"ts": "integer", "hostname": "string", "dt": "string", "h": "string"}
+
+
+def with_metadata_message(hierarchy: dict[str, dict[str, str]]) -> dict[str, dict[str, str]]:
+    """Hierarchy + the reference's metadata envelope message (types mapped
+    through the same lattice->proto table)."""
+    out = dict(hierarchy)
+    out[METADATA_MESSAGE] = {
+        f: PROTO_TYPE_FOR[t] for f, t in METADATA_FIELDS.items()
+    }
+    return out
+
+
 def proto_lines(hierarchy: dict[str, dict[str, str]]) -> list[tuple[str, int, str]]:
     """(file_name, line_number, line) triples — one .proto file per message."""
     rows: list[tuple[str, int, str]] = []

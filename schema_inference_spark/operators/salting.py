@@ -1,23 +1,30 @@
-"""Explicit key-salting for hot-key-safe NON-reducible aggregations.
+"""Hot-key-safe bounded exemplar gathering (k smallest distinct values).
 
-Plain counts never need salting (partial aggregation combines hot keys
-map-side — see operators/uniqueness.py). Salting earns its keep when the
-per-key state does NOT reduce: collect_list / collect_set exemplar
-gathering, where a 34%-hot phash would funnel a third of the table into one
-task. Two phases:
+Plain counts never need special handling (partial aggregation combines hot
+keys map-side — see operators/uniqueness.py). Exemplar gathering is the
+operator where naive ``collect_set`` per key is dangerous: per-group state
+grows with the number of DISTINCT values, and a 34%-hot key funnels a third
+of the table into one aggregation buffer.
 
-  1. groupBy(key, salt = pmod(hash(id), n_salts)) — hot key splits into
-     n_salts bounded groups; per-group state capped by ``per_salt_cap``;
-  2. groupBy(key) over the n_salts partial lists — tiny second shuffle.
+Round 1 salted the collect_set into ``n_salts`` sub-groups, but each
+sub-group's set was still unbounded (ADVICE r1). This version has NO
+unbounded aggregation state at all:
 
-The cap makes the operator's output (k exemplars per key) deterministic:
-each phase keeps the sorted-first elements, so the final slice equals the
-global sorted-first-k regardless of partitioning.
+  1. ``groupBy(key, value)`` — fully REDUCIBLE (count), so map-side partial
+     aggregation absorbs hot keys and the shuffle carries one row per
+     distinct (key, value);
+  2. ranked window ``row_number() over (partition by key order by value)``
+     filtered to ``rn <= k`` — Spark's window operator sort-spills to disk,
+     so even a key with millions of distinct values is memory-safe;
+  3. ``collect_list`` over at most k rows per key — bounded by construction.
+
+Output is deterministic (the globally smallest k distinct values) under any
+partitioning.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -26,25 +33,18 @@ def salted_exemplars(
     key: str,
     exemplar_col: str,
     k: int = 5,
-    n_salts: int = 16,
+    n_salts: int = 16,  # kept for API compat; the reducible form needs no salt
 ) -> DataFrame:
     """DataFrame[key, n_rows, exemplars array] with at most k exemplars per
-    key (the k smallest DISTINCT values — deterministic), hot-key safe."""
-    salt = F.pmod(F.xxhash64(F.col(exemplar_col)), F.lit(n_salts)).alias("_salt")
-    phase1 = (
-        df.select(key, F.col(exemplar_col).alias("_ex"), salt)
-        .groupBy(key, "_salt")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.slice(F.array_sort(F.collect_set("_ex")), 1, k).alias("_partial"),
-        )
+    key (the k smallest DISTINCT values — deterministic), hot-key safe with
+    bounded aggregation state (see module docstring)."""
+    del n_salts
+    base = df.select(key, F.col(exemplar_col).alias("_ex"))
+    per_value = base.groupBy(key, "_ex").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(key).orderBy("_ex")
+    topk = per_value.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    counts = per_value.groupBy(key).agg(F.sum("_n").alias("n_rows"))
+    exemplars = topk.groupBy(key).agg(
+        F.sort_array(F.collect_list("_ex")).alias("exemplars")
     )
-    return (
-        phase1.groupBy(key)
-        .agg(
-            F.sum("_n").alias("n_rows"),
-            F.slice(
-                F.array_sort(F.array_distinct(F.flatten(F.collect_list("_partial")))), 1, k
-            ).alias("exemplars"),
-        )
-    )
+    return counts.join(exemplars, key)

@@ -51,17 +51,37 @@ def write_checkpoint(
 
 
 def completed_parts(spark: SparkSession, path: str) -> DataFrame | None:
-    """Partitions with at least one checkpoint row (any run). None if no
-    checkpoint exists yet."""
+    """Partitions with a ``status='validated'`` checkpoint row in ANY run.
+    None if no checkpoint exists yet.
+
+    Filtering on status (ADVICE r1) is what makes resume retry-correct: a
+    partition whose only lineage rows say 'failed' is NOT complete and must
+    be re-validated on the next run."""
     if not os.path.exists(path):
         return None
-    return spark.read.parquet(path).select("part").distinct()
+    return (
+        spark.read.parquet(path)
+        .where(F.col("status") == "validated")
+        .select("part")
+        .distinct()
+    )
+
+
+def unvalidated_parts(spark: SparkSession, path: str) -> DataFrame | None:
+    """Partitions that appear in the checkpoint but have NO 'validated' row
+    in any run — the set that must gate an orchestrator's exit code."""
+    if not os.path.exists(path):
+        return None
+    ckpt = spark.read.parquet(path)
+    done = ckpt.where(F.col("status") == "validated").select("part").distinct()
+    return ckpt.select("part").distinct().join(done, "part", "left_anti")
 
 
 def filter_for_resume(
     spark: SparkSession, df: DataFrame, path: str, part_col: str = "part"
 ) -> DataFrame:
-    """Drop partitions already recorded in the checkpoint (broadcast anti join)."""
+    """Drop partitions already validated (broadcast anti join); failed
+    partitions fall through and re-run."""
     done = completed_parts(spark, path)
     if done is None:
         return df

@@ -33,7 +33,8 @@ def run_partitioned_validation(
     part_col: str = "part",
 ) -> list[dict]:
     """Validate remaining partitions one job at a time; returns a summary
-    dict per processed partition (already-checkpointed ones are skipped)."""
+    dict per processed partition (partitions with a 'validated' lineage row
+    are skipped; failed ones retry)."""
     done = completed_parts(spark, checkpoint_path)
     done_set = {r["part"] for r in done.collect()} if done is not None else set()
     all_parts = sorted(

@@ -635,5 +635,4 @@ SPECS = [
     QuerySpec("order_rollup", order_rollup, ROLLUP_SQL, "rollup aggregation"),
     QuerySpec("customers_minus_buyers", customers_minus_buyers, EXCEPT_SQL, "EXCEPT ALL"),
     QuerySpec("user_bucket_event_pivot", user_bucket_event_pivot, PIVOT_SQL, "pivot"),
-    QuerySpec("partkey_cardinality_hll", partkey_cardinality_hll, None, "HLL cardinality"),
 ]

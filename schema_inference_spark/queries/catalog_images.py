@@ -93,12 +93,13 @@ def proto_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         concat_proto_files,
         proto_hierarchy,
         proto_lines_df,
+        with_metadata_message,
     )
     from schema_inference_spark.operators.shapes import merged_top_schema
 
     ev = load_table(spark, sf_dir, "events")
     merged = merged_top_schema(ev, flat_json_shape_expr(F.col("props")), merge_n=10)
-    lines = proto_lines_df(spark, proto_hierarchy(merged))
+    lines = proto_lines_df(spark, with_metadata_message(proto_hierarchy(merged)))
     return concat_proto_files(lines).orderBy("file_name")
 
 

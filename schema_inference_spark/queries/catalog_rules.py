@@ -57,6 +57,20 @@ def lineitem_generic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_inference_spark.operators.profile import profile_table
 
     li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    # exact distinct ONLY here: the DuckDB oracle compares exact counts.
+    # Production default is HLL (lineitem_profile_hll below).
+    return profile_table(
+        li, numeric_cols=list(PROFILE_NUMERIC), exact_distinct=True
+    ).orderBy("column", "metric")
+
+
+def lineitem_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profiler's production (HLL) mode: one scan, one aggregate, no
+    per-column input expansion — rows-only driver check (estimates are
+    implementation-defined; accuracy asserted in pytest)."""
+    from schema_inference_spark.operators.profile import profile_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
     return profile_table(li, numeric_cols=list(PROFILE_NUMERIC)).orderBy("column", "metric")
 
 
@@ -82,5 +96,9 @@ SPECS = [
     QuerySpec(
         "lineitem_generic_profile", lineitem_generic_profile, GENERIC_PROFILE_SQL,
         "generic single-pass table profile",
+    ),
+    QuerySpec(
+        "lineitem_profile_hll", lineitem_profile_hll, None,
+        "profiler HLL mode: single scan, no distinct-expand",
     ),
 ]

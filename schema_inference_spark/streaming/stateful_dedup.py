@@ -5,14 +5,23 @@ backfills); the validation suite must see each image_id once. Spark has no
 built-in cross-batch dedup with TTL, so this is the canonical custom
 stateful operator via ``applyInPandasWithState``:
 
-* state per image_id group-key bucket: the set of ids already seen;
-* each micro-batch emits only rows whose id is new, then merges ids into
-  state; a processing-time timeout expires idle buckets (bounded state —
-  at 10^12 scale the TTL is what keeps state from growing monotonically).
+* state per group-key bucket: the 64-bit xxhash64 fingerprints of ids
+  already seen — NOT the raw id strings. A uuid-ish id is 32-64 bytes;
+  its hash is 8, so state is 4-8x smaller per entry and bounded per id
+  regardless of id length. The cost is hash-collision false-positives
+  (a colliding new id is dropped as a dup): for N ids spread over the
+  bucket space, expected collisions ~ N^2 / 2^65 — at 10^12 ids that is
+  ~3x10^4 rows corpus-wide (3x10^-6 %), the same accept-rate tradeoff a
+  Bloom filter makes. Swap point for even tighter state: replace the
+  per-bucket hash array with a Bloom filter column (~10 bits/id at 1%
+  FP) serialized into the state row; the operator contract is unchanged.
+* each micro-batch emits only rows whose id-hash is new, then merges the
+  hashes into state; a processing-time timeout expires idle buckets
+  (bounded state — at 10^12 scale TTL is what stops monotonic growth).
 
-Keying by a BUCKET of the id (pmod(hash, n_buckets)) instead of the raw id
-keeps the state-store row count fixed and the per-group pandas frames
-batched — the same salting idea as operators/salting.py applied to
+Keying by a BUCKET of the id hash (pmod(xxhash64, n_buckets)) instead of
+the raw id keeps the state-store row count fixed and the per-group pandas
+frames batched — the same salting idea as operators/salting.py applied to
 streaming state.
 """
 
@@ -26,6 +35,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+_IDHASH = "_idhash"
+_BUCKET = "_bucket"
+
 
 def dedup_stream(
     images_stream: DataFrame,
@@ -34,7 +46,7 @@ def dedup_stream(
     ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming DataFrame with cross-batch duplicates of ``id_col`` removed
-    (first occurrence wins; order within a micro-batch by ascending id).
+    (first occurrence wins; order within a micro-batch by ascending sort).
 
     ``ttl_ms`` enables the processing-time state TTL. Default off: this
     Spark build (4.1.2) crashes Python workers whenever
@@ -53,14 +65,14 @@ def dedup_stream(
         # commit state as soon as the generator stops yielding, so post-yield
         # updates are lost/crash the worker.
         # GroupState.get is a property (tuple of the state row's fields)
-        seen: set[str] = set(state.get[0]) if state.exists else set()
+        seen: set[int] = set(state.get[0]) if state.exists else set()
         outputs: list[pd.DataFrame] = []
         for pdf in pdfs:
             # full-row sort: deterministic winner among same-id rows in a
             # batch (shuffle order is not stable)
             pdf = pdf.sort_values(list(pdf.columns))
-            fresh = pdf[~pdf[id_col].isin(seen) & ~pdf[id_col].duplicated()]
-            seen.update(fresh[id_col].tolist())
+            fresh = pdf[~pdf[_IDHASH].isin(seen) & ~pdf[_IDHASH].duplicated()]
+            seen.update(int(h) for h in fresh[_IDHASH].tolist())
             if len(fresh):
                 outputs.append(fresh[cols])
         state.update((sorted(seen),))
@@ -69,14 +81,14 @@ def dedup_stream(
         yield from outputs
 
     bucketed = images_stream.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
-    )
+        _IDHASH, F.xxhash64(F.col(id_col))
+    ).withColumn(_BUCKET, F.pmod(F.col(_IDHASH), F.lit(n_buckets)))
     return (
-        bucketed.groupBy("_bucket")
+        bucketed.groupBy(_BUCKET)
         .applyInPandasWithState(
             dedup_bucket,
             outputStructType=out_schema,
-            stateStructType="seen array<string>",
+            stateStructType="seen array<long>",
             outputMode="append",
             timeoutConf=(
                 GroupStateTimeout.ProcessingTimeTimeout

@@ -44,42 +44,46 @@ def test_shifted_distribution_trips_drift(spark):
 
 
 def test_checkpoint_resume_skips_validated_parts(spark):
-    corpus = generate_image_corpus(800, n_parts=4)
+    """Resume semantics (ADVICE r1): only status='validated' partitions are
+    skipped; failed partitions retry; the gate derives from the full
+    lineage table."""
+    from schema_inference_spark.plans.checkpoint import unvalidated_parts
+
+    corpus = generate_image_corpus(800, n_parts=4, with_violations=False)
     images, captions = images_spark_df(spark, corpus)
     with tempfile.TemporaryDirectory() as d:
         path = f"{d}/ckpt"
         assert completed_parts(spark, path) is None
         assert filter_for_resume(spark, images, path).count() == images.count()
 
-        # validate only parts 0/1 in "run-1", checkpoint them
+        # validate only parts 0/1 in "run-1" (clean corpus -> validated)
         first = images.where(F.col("part") < 2)
         res = run_validation(spark, first, captions.where(F.col("part") < 2))
         ckpt = write_checkpoint(res.verdicts, path, "run-1").collect()
         assert {r["part"] for r in ckpt} == {0, 1}
-        assert all(r["status"] == "failed" for r in ckpt)  # planted violations
+        assert all(r["status"] == "validated" for r in ckpt)
 
-        # resume: only parts 2/3 remain
+        # a FAILED attempt on part 2 must NOT mark it complete
+        fake_failed = spark.createDataFrame(
+            [(2, False, 100, 5)], "part int, passed boolean, n_rows long, n_violations long"
+        )
+        write_checkpoint(fake_failed, path, "run-1-failed")
+
+        # resume: parts 2 (failed -> retry) and 3 (never run) remain
         remaining = filter_for_resume(spark, images, path)
         assert {r["part"] for r in remaining.select("part").distinct().collect()} == {2, 3}
+        bad = unvalidated_parts(spark, path)
+        assert {r["part"] for r in bad.collect()} == {2}
 
-        # second run checkpoints the rest; nothing remains afterwards
+        # second run validates the rest; nothing remains, gate is clean
         res2 = run_validation(
             spark, remaining, filter_for_resume(spark, captions, path)
         )
         write_checkpoint(res2.verdicts, path, "run-2")
         assert filter_for_resume(spark, images, path).count() == 0
+        assert unvalidated_parts(spark, path).count() == 0
 
-        # lineage metrics present for all 4 parts
+        # lineage metrics present for all rows (4 real runs + 1 failed stub)
         all_ckpt = spark.read.parquet(path)
-        assert all_ckpt.count() == 4
+        assert all_ckpt.count() == 5
         assert all_ckpt.where(F.col("n_rows") <= 0).count() == 0
-
-
-def test_clean_partition_checkpointed_as_validated(spark):
-    corpus = generate_image_corpus(300, n_parts=2, with_violations=False)
-    images, captions = images_spark_df(spark, corpus)
-    with tempfile.TemporaryDirectory() as d:
-        res = run_validation(spark, images, captions)
-        ckpt = write_checkpoint(res.verdicts, f"{d}/ckpt", "run-1").collect()
-        assert all(r["status"] == "validated" for r in ckpt)
-        assert all(r["n_violations"] == 0 for r in ckpt)

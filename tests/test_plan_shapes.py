@@ -79,3 +79,35 @@ def test_pixel_scan_reads_bytes_once(images_on_disk):
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert sum("bytes" in s for s in scans) == 1
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_hll_profile_single_scan_no_expand(spark, sf_dir):
+    """Profiler production (HLL) mode: ONE aggregation pass, no Expand node.
+    Exact multi-column distinct plans Expand the input once per distinct
+    column; HLL must keep one sketch per column instead (VERDICT r1 #10)."""
+    from schema_inference_spark.queries.catalog_rules import (
+        lineitem_generic_profile,
+        lineitem_profile_hll,
+    )
+
+    hll = lineitem_profile_hll(spark, sf_dir)
+    hll.collect()
+    plan = plan_of(hll)
+    assert "Expand" not in plan
+    assert "approx_count_distinct" in plan
+
+    # HLL estimates track the exact counts at test scale (within 15%)
+    exact = {
+        (r["column"], r["metric"]): r["value"]
+        for r in lineitem_generic_profile(spark, sf_dir).collect()
+    }
+    est = {
+        (r["column"], r["metric"]): r["value"]
+        for r in hll.collect()
+    }
+    assert set(est) == set(exact)
+    for key, v in exact.items():
+        if key[1] == "n_distinct" and v > 0:
+            assert abs(est[key] - v) / v < 0.15, (key, est[key], v)
+        elif key[1] != "n_distinct":
+            assert est[key] == v

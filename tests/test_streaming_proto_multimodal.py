@@ -136,3 +136,25 @@ def test_video_unknown_container_raises(spark):
     df = spark.createDataFrame([("v1", b"RIFFxxxxWEBP")], "video_id string, bytes binary")
     with pytest.raises(Exception, match="NotImplementedError|non-engine"):
         sample_video_frames(df, every_n=1).collect()
+
+
+def test_metadata_envelope_injected(spark):
+    """Reference TransformProtobufHierarchy.createMetadataFileWriter:244-252
+    injects a ts/hostname/dt/h envelope message into every hierarchy."""
+    from schema_inference_spark.operators.proto import with_metadata_message
+
+    h = with_metadata_message(proto_hierarchy(NESTED, root="Event"))
+    assert h["Metadata"] == {
+        "ts": "int32",
+        "hostname": "string",
+        "dt": "string",
+        "h": "string",
+    }
+    files = {
+        r["file_name"]: r["content"]
+        for r in concat_proto_files(proto_lines_df(spark, h)).collect()
+    }
+    meta = files["Metadata.proto"]
+    assert "message Metadata {" in meta
+    assert "int32 ts" in meta and "string hostname" in meta
+    assert "string dt" in meta and "string h" in meta
