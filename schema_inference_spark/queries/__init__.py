@@ -54,4 +54,17 @@ def registry() -> dict[str, QuerySpec]:
             specs[spec.name] = spec
     with_oracle = {n: s for n, s in specs.items() if s.sql is not None}
     rows_only = {n: s for n, s in specs.items() if s.sql is None}
-    return {**with_oracle, **rows_only}
+    # rows-only priority: flagship image-suite entries first; the tail
+    # (HLL profile has a plan test, merge/proto have dedicated pytests) is
+    # what a 50-entry cap may drop.
+    priority = (
+        "images_validation_verdicts",
+        "images_violations_summary",
+        "images_profile",
+        "lineitem_profile_hll",
+        "merged_event_schema",
+        "proto_files",
+    )
+    ordered_rows_only = {n: rows_only[n] for n in priority if n in rows_only}
+    ordered_rows_only.update(rows_only)
+    return {**with_oracle, **ordered_rows_only}

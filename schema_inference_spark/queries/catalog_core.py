@@ -424,6 +424,56 @@ FROM sess GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- built-in session windows (the native analog of the gaps-and-islands
+#     sessionization above; also the streaming-ready formulation) ---
+
+
+def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via F.session_window (30-min gap): per-user session
+    count + per-session event totals, reduced to a per-user summary. The
+    same groupBy runs unchanged under Structured Streaming with a
+    watermark; the oracle is the precise-epoch gaps-and-islands equivalent
+    (an event extends a session iff ts - prev_ts < gap, i.e. a new session
+    starts at diff >= 1800s)."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(n_events)::BIGINT AS n_events,
+       max(n_events)::BIGINT AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --- multi-column sort + limit (O2/O6) ---
 
 
@@ -629,6 +679,8 @@ SPECS = [
     QuerySpec("quantity_drift_ks", quantity_drift_ks, KS_SQL, "KS drift in SQL"),
     QuerySpec("hourly_event_windows", hourly_event_windows, HOURLY_SQL, "time windows"),
     QuerySpec("user_session_counts", user_session_counts, SESSION_SQL, "sessionization"),
+    QuerySpec("user_session_windows", user_session_windows, SESSION_WINDOW_SQL,
+              "built-in session_window sessionization (streaming-ready)"),
     QuerySpec("event_sample_sorted", event_sample_sorted, SORTED_SQL, "multi-col sort+limit"),
     QuerySpec("event_profile", event_profile, EVENT_PROFILE_SQL, "null-fraction profile"),
     QuerySpec("error_asof_last_click", error_asof_last_click, ASOF_SQL, "as-of join"),
