@@ -194,6 +194,63 @@ def simhash_fingerprints(
     return balances.select(id_col, simhash_from_balances(n_bits).alias("simhash"))
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, component) where
+    component = the smallest id in the cluster. This is the step that turns
+    pairwise near-dups into dedup GROUPS (keep one row per component).
+
+    Iterative min-label propagation: each round every vertex takes the min
+    label among itself and its neighbors; converges in O(graph diameter)
+    rounds — near-dup clusters from LSH are dense (star-like), so real
+    diameters are tiny; a pathological pure chain is bounded by
+    ``max_iter`` (swap in large-star/small-star for O(log n) if such
+    graphs ever appear). Spark-idiomatic
+    iteration: a driver loop over DataFrames with localCheckpoint() per
+    round to cut lineage (no RDDs, no recursive SQL); each round is one
+    shuffle on id. ``max_iter`` bounds pathological chains; the loop exits
+    as soon as a fixpoint is reached (no label changed).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .withColumn("component", F.col(id_col))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == F.col(id_col))
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels[id_col] == neighbor_min.src, "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        ).localCheckpoint()
+        changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_block_bounds(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
     """(shift, width) per block, covering all n_bits contiguously."""
     base, extra = divmod(n_bits, n_blocks)

@@ -1,0 +1,70 @@
+"""Driver-grade strict parity for the extra pipeline queries
+(catalog_extra.py — outside the capped driver registry, same gate), plus
+component/split unit semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_inference_spark.queries.catalog_extra import extra_specs
+from tests.oracle_harness import compare_query
+
+SPECS = extra_specs()
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_extra_query_matches_oracle(spark, sf_dir, spec):
+    problems = compare_query(spark, spec, sf_dir)
+    assert problems == [], problems
+
+
+def test_split_is_deterministic_and_complete(spark, sf_dir):
+    from schema_inference_spark.operators.sampling import with_split
+    from schema_inference_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = with_split(docs, "doc_id").select("doc_id", "split")
+    b = with_split(docs.repartition(7), "doc_id").select("doc_id", "split")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0  # stable
+    assert a.where(F.col("split").isNull()).count() == 0  # total
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert 0.7 < counts["train"] / total < 0.9  # ~80/10/10 at corpus size
+
+
+def test_duplicate_components_planted_clusters(spark):
+    from schema_inference_spark.operators.dedup import duplicate_components
+
+    # two clusters: star {1,2,3,4} around 1; chain 10-11-12; singleton pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11), (11, 12), (20, 21)],
+        "id_a int, id_b int",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(pairs, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_components_end_to_end_lsh(spark, sf_dir):
+    """LSH candidate pairs -> components: every member of a component is
+    reachable, and one keeper per component dedupes the corpus."""
+    from schema_inference_spark.operators.dedup import (
+        duplicate_components,
+        lsh_candidate_pairs,
+    )
+    from schema_inference_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", n_perm=4, band_size=2)
+    comps = duplicate_components(pairs, "doc_id")
+    if comps.isEmpty():
+        pytest.skip("no candidate pairs at this SF")
+    # component label is always <= member id and is itself a member
+    assert comps.where(F.col("component") > F.col("doc_id")).count() == 0
+    members = comps.select(F.col("doc_id").alias("component")).distinct()
+    assert comps.select("component").distinct().join(
+        members, "component", "left_anti"
+    ).count() == 0
