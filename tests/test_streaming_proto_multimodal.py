@@ -158,3 +158,57 @@ def test_metadata_envelope_injected(spark):
     assert "message Metadata {" in meta
     assert "int32 ts" in meta and "string hostname" in meta
     assert "string dt" in meta and "string h" in meta
+
+
+def test_streaming_session_windows_equal_batch(spark, sf_dir):
+    """F.session_window under Structured Streaming (watermark + availableNow)
+    must produce the same per-user session summary as the batch run of the
+    IDENTICAL groupBy — the streaming-ready sessionization claim of
+    user_session_windows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from schema_inference_spark.sources.tables import load_table
+    from schema_inference_spark.streaming.validate_stream import run_stream_to_memory
+
+    # watermarks require TIMESTAMP (the parquet carries TIMESTAMP_NTZ)
+    ev = load_table(spark, sf_dir, "events", parallelize=False).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def summarize(df):
+        sessions = df.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        return sessions.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+
+    batch = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in summarize(ev).collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/in")
+        stream = spark.readStream.schema(ev.schema).parquet(f"{d}/in")
+        sessions = (
+            stream.withWatermark("ts", "10 days")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        got_sessions = run_stream_to_memory(
+            spark, sessions, "session_windows_sink", output_mode="complete"
+        )
+        streamed = {
+            (r["user_id"], r["n_sessions"], r["n_events"])
+            for r in got_sessions.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .collect()
+        }
+    assert streamed == batch
