@@ -147,3 +147,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_images_b")
         spark.sql("DROP TABLE IF EXISTS t_captions_b")
+
+
+def test_cosine_plan_has_no_interpreted_hof(spark, sf_dir):
+    """The r2 kernel rewrite: ANN cosine must be an ArrowEvalPython
+    projection, with no higher-order-function expressions (Spark 4.1.2
+    evaluates transform/aggregate lambdas interpreted, per row)."""
+    from schema_inference_spark.queries.catalog_vectors import embedding_topk_cosine
+
+    df = embedding_topk_cosine(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "ArrowEvalPython" in plan
+    for hof in ("transform(", "aggregate(", "lambdafunction"):
+        assert hof not in plan, hof
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_window_no_cartesian(spark, sf_dir):
+    """The union+window as-of design: no per-group pandas, no cartesian or
+    range-condition nested-loop join in the executed plan."""
+    from schema_inference_spark.queries.catalog_core import error_asof_last_click
+
+    df = error_asof_last_click(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("RunningWindowFunction") + plan.count("Window") >= 1
