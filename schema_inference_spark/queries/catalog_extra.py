@@ -160,6 +160,64 @@ ORDER BY id_a, id_b
 """
 
 
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations) — the multi-level
+    rollup generalization; one pass, Expand + partial agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def event_value_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window sampler: ntile quartiles, lead/lag deltas and
+    cumulative distribution over each user's event values (first 20 users
+    for a bounded result)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta_prev"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WINDOW_STATS_SQL = """
+SELECT user_id, event_id,
+       ntile(4) OVER w AS quartile,
+       round(value - lag(value) OVER w, 6) AS delta_prev,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+ORDER BY user_id, event_id
+"""
+
+
 def extra_specs() -> list[QuerySpec]:
     return [
         QuerySpec("doc_split_counts", doc_split_counts, _split_sql(),
@@ -170,4 +228,7 @@ def extra_specs() -> list[QuerySpec]:
                   "TF-IDF top terms per doc"),
         QuerySpec("embedding_near_dups_lsh", embedding_near_dups_lsh, _near_dups_lsh_sql(),
                   "LSH-bucket-blocked embedding near-dups"),
+        QuerySpec("order_status_cube", order_status_cube, CUBE_SQL, "CUBE grouping sets"),
+        QuerySpec("event_value_window_stats", event_value_window_stats, WINDOW_STATS_SQL,
+                  "ntile/lag/cume_dist analytic windows"),
     ]
