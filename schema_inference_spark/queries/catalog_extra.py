@@ -218,6 +218,25 @@ ORDER BY user_id, event_id
 """
 
 
+def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile quantiles per group — the 100 TB quantile path
+    (mergeable sketch, one partial+final agg pass; exact `percentile`
+    buffers every value per group). No SQL oracle: the estimate is
+    implementation-defined; accuracy vs the exact percentiles is asserted
+    in pytest within the sketch's accuracy parameter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 10_000  # relative-error bound ~ 1/acc
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"approx_percentile(l_extendedprice, 0.25, {acc})").alias("p25"),
+            F.expr(f"approx_percentile(l_extendedprice, 0.5, {acc})").alias("p50"),
+            F.expr(f"approx_percentile(l_extendedprice, 0.95, {acc})").alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def extra_specs() -> list[QuerySpec]:
     return [
         QuerySpec("doc_split_counts", doc_split_counts, _split_sql(),

@@ -68,3 +68,19 @@ def test_duplicate_components_end_to_end_lsh(spark, sf_dir):
     assert comps.select("component").distinct().join(
         members, "component", "left_anti"
     ).count() == 0
+
+
+def test_quantile_sketch_tracks_exact_percentiles(spark, sf_dir):
+    """approx_percentile (mergeable sketch, the scale path) must track the
+    exact interpolated percentiles within 1% of the column's IQR-scale."""
+    from schema_inference_spark.queries.catalog_core import price_percentiles
+    from schema_inference_spark.queries.catalog_extra import price_quantile_sketch
+
+    exact = {r["l_returnflag"]: r for r in price_percentiles(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r for r in price_quantile_sketch(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        scale = max(1.0, e["p95"] - e["p25"])
+        for q in ("p25", "p50", "p95"):
+            assert abs(a[q] - e[q]) / scale < 0.01, (flag, q, a[q], e[q])
