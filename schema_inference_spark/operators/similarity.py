@@ -193,6 +193,65 @@ def ivf_assignments(
     return df.withColumn("centroid_id", _assign(F.col(vec_col)))
 
 
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> list[tuple[int, list[float]]]:
+    """Distributed spherical (cosine) Lloyd's k-means — the real 'training'
+    step for the IVF index (ivf_assignments previously took seed vectors;
+    production wants learned centroids).
+
+    Spark-idiomatic iteration: each round is (1) one Arrow-batched
+    assignment projection (ivf_assignments — k*d numpy ops per batch, no
+    join), (2) one posexplode + partial-aggregated avg per (centroid, dim)
+    — a single key-partial shuffle of k*d rows. Centroids live on the
+    driver between rounds (k*d floats, tiny by construction). Converges or
+    stops at max_iter; empty clusters keep their previous centroid.
+
+    Initialization is deterministic: the k rows with the smallest ids
+    (reproducible across runs/partitionings, no RNG).
+    """
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    prev = None
+    for _ in range(max_iter):
+        assigned = ivf_assignments(df, centroids, id_col, vec_col)
+        new_rows = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        centroids = [
+            (
+                cid,
+                [by_cid[cid][p] for p in sorted(by_cid[cid])]
+                if cid in by_cid
+                else vec,  # empty cluster: keep previous centroid
+            )
+            for cid, vec in centroids
+        ]
+        flat = [x for _, v in centroids for x in v]
+        if prev is not None and max(
+            abs(a - b) for a, b in zip(flat, prev)
+        ) < tol:
+            break
+        prev = flat
+    return centroids
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     query_vec: list[float],

@@ -145,3 +145,66 @@ def test_simhash_pigeonhole_recall_across_blocks(spark):
     assert (1, 5) not in got
     # rows 2 and 3 differ in bits {3,16,17,31,46} -> d=5, excluded
     assert (2, 3) not in got
+
+
+def test_kmeans_train_recovers_planted_clusters(spark):
+    """Distributed spherical k-means: three well-separated planted clusters
+    must be recovered (every member assigned with its cluster-mates), and
+    training must be deterministic across partitionings."""
+    import numpy as np
+
+    from schema_inference_spark.operators.similarity import (
+        ivf_assignments,
+        kmeans_train,
+    )
+
+    rng_free_base = {
+        0: [10.0, 0.0, 0.0, 0.0],
+        1: [0.0, 10.0, 0.0, 0.0],
+        2: [0.0, 0.0, 10.0, 0.0],
+    }
+    rows = []
+    for cid, base in rng_free_base.items():
+        for j in range(20):
+            # deterministic jitter, small relative to separation
+            vec = [b + ((i * 7 + j * 13 + cid * 3) % 5) * 0.1 for i, b in enumerate(base)]
+            rows.append((cid * 100 + j, vec))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    cents = kmeans_train(df, k=3, max_iter=8)
+    assigned = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assignments(df, cents).select("vec_id", "centroid_id").collect()
+    }
+    # all members of a planted cluster share one learned centroid,
+    # and different planted clusters get different centroids
+    learned_by_planted = {
+        cid: {assigned[cid * 100 + j] for j in range(20)} for cid in rng_free_base
+    }
+    assert all(len(s) == 1 for s in learned_by_planted.values())
+    assert len(set().union(*learned_by_planted.values())) == 3
+
+    cents2 = kmeans_train(df.repartition(7), k=3, max_iter=8)
+    flat = lambda cs: [round(x, 9) for _, v in cs for x in v]  # noqa: E731
+    assert flat(cents) == flat(cents2)
+
+
+def test_ivf_with_trained_centroids_recall(spark, sf_dir):
+    """End-to-end learned-index path: k-means-trained centroids + n_probe
+    search must recover most of the brute-force top-10 (measured 0.9 at
+    this corpus; gate at >= 0.6 to absorb corpus drift)."""
+    from pyspark.sql import functions as F
+
+    from schema_inference_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        kmeans_train,
+    )
+    from schema_inference_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = kmeans_train(emb, k=8, max_iter=6)
+    ivf = {r["vec_id"] for r in cosine_topk_ivf(emb, q, cents, k=10, n_probe=2).collect()}
+    brute = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    assert len(ivf & brute) / 10 >= 0.6
