@@ -1,0 +1,94 @@
+"""Sequence packing: assign documents to fixed-token-budget bins.
+
+LLM pretraining consumes fixed-length context windows; feeding one short
+document per window wastes most of the tokens. Packing groups documents
+into bins whose token totals stay under ``max_tokens`` (greedy first-fit
+over size-sorted docs — the standard practical packer).
+
+Scale shape: global first-fit is inherently sequential, so the operator
+runs PARTITION-LOCAL first-fit (the industry-standard compromise):
+
+1. docs are range-partitioned by token count (so each partition sees a
+   similar size mix and long docs cluster together),
+2. each partition packs its own docs with an Arrow-batched
+   ``mapInPandas`` (pure numpy/python over one partition, no state
+   across partitions),
+3. bin ids are globally unique by construction:
+   ``bin_id = partition_id * 2^40 + local_bin``.
+
+Per-partition packing loses a little density vs a global packer (bounded
+by one underfull bin per partition) but is embarrassingly parallel and
+deterministic: the range partitioning + in-partition (tokens desc, id)
+sort fixes the order regardless of input layout.
+
+Oversized docs (token_count > max_tokens) get a bin of their own and
+``truncated=true`` — the caller decides whether to split or drop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_PART_SHIFT = 1 << 40
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    max_tokens: int = 2048,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, bin_id, truncated) — every doc assigned to a bin whose
+    total token count is <= max_tokens (except single oversized docs)."""
+    out_schema = (
+        f"{id_col} long, {token_col} long, bin_id long, truncated boolean"
+    )
+    narrow = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(token_col).cast("long").alias(token_col),
+    )
+    if n_partitions is not None:
+        narrow = narrow.repartitionByRange(n_partitions, token_col, id_col)
+    else:
+        narrow = narrow.repartitionByRange(token_col, id_col)
+
+    def pack_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        rows = pd.concat(chunks)
+        if rows.empty:
+            return
+        rows = rows.sort_values([token_col, id_col], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per local bin
+        assignment, truncated = [], []
+        for t in rows[token_col].tolist():
+            if t > max_tokens:
+                bins.append(0)
+                assignment.append(len(bins) - 1)
+                truncated.append(True)
+                continue
+            # first-fit over open bins
+            for i, cap in enumerate(bins):
+                if cap >= t:
+                    bins[i] = cap - t
+                    assignment.append(i)
+                    break
+            else:
+                bins.append(max_tokens - t)
+                assignment.append(len(bins) - 1)
+            truncated.append(False)
+        rows = rows.assign(
+            bin_id=[pid * _PART_SHIFT + b for b in assignment], truncated=truncated
+        )
+        yield rows[[id_col, token_col, "bin_id", "truncated"]]
+
+    return narrow.mapInPandas(pack_partition, schema=out_schema)

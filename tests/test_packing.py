@@ -1,0 +1,68 @@
+"""Sequence packing: budget invariants, completeness, determinism, density."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_inference_spark.functions import text as TX
+from schema_inference_spark.operators.packing import pack_documents
+from schema_inference_spark.sources.tables import load_table
+
+
+def _packed(spark, sf_dir, max_tokens=512):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.token_count_expr(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return docs, pack_documents(docs, max_tokens=max_tokens, n_partitions=4)
+
+
+def test_packing_budget_and_completeness(spark, sf_dir):
+    docs, packed = _packed(spark, sf_dir)
+    packed_rows = packed.collect()
+    n_docs = docs.count()
+    assert len(packed_rows) == n_docs  # every doc packed exactly once
+    assert len({r["doc_id"] for r in packed_rows}) == n_docs
+
+    # no non-truncated bin exceeds the budget
+    over = (
+        packed.where(~F.col("truncated"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("total"))
+        .where(F.col("total") > 512)
+        .count()
+    )
+    assert over == 0
+    # oversized docs are alone in their bin and flagged
+    trunc_bins = packed.where(F.col("truncated")).select("bin_id")
+    assert (
+        packed.join(trunc_bins, "bin_id", "left_semi")
+        .groupBy("bin_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+        == 0
+    )
+
+
+def test_packing_is_deterministic_and_dense(spark, sf_dir):
+    docs, packed = _packed(spark, sf_dir)
+    a = sorted((r["doc_id"], r["bin_id"]) for r in packed.collect())
+    b = sorted(
+        (r["doc_id"], r["bin_id"])
+        for r in pack_documents(
+            docs.repartition(13), max_tokens=512, n_partitions=4
+        ).collect()
+    )
+    assert a == b  # layout-independent assignment
+
+    # density: used bins should be mostly full (first-fit over desc sizes).
+    stats = (
+        packed.where(~F.col("truncated"))
+        .groupBy("bin_id")
+        .agg(F.sum("n_tokens").alias("total"))
+        .agg(F.avg("total").alias("avg_fill"), F.count(F.lit(1)).alias("n_bins"))
+        .collect()[0]
+    )
+    total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    lower_bound_bins = total_tokens / 512
+    assert stats["n_bins"] <= 1.3 * lower_bound_bins + 4  # near-optimal bin count
