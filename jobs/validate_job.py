@@ -87,9 +87,11 @@ def main(argv: list[str] | None = None) -> int:
         ("verdicts", res.verdicts),
         ("profile", res.profile),
     ):
-        df.withColumn("run_id", F.lit(args.run_id)).write.mode("append").parquet(
-            f"{args.output}/{name}"
-        )
+        writer = df.withColumn("run_id", F.lit(args.run_id)).write.mode("append")
+        if "part" in df.columns:
+            # partition-pruned reads for per-partition consumers/re-runs
+            writer = writer.partitionBy("part")
+        writer.parquet(f"{args.output}/{name}")
     if args.checkpoint:
         write_checkpoint(res.verdicts, args.checkpoint, args.run_id)
 

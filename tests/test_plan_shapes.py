@@ -175,3 +175,18 @@ def test_asof_join_single_window_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("RunningWindowFunction") + plan.count("Window") >= 1
+
+
+def test_partitioned_results_prune_on_read(spark, tmp_path):
+    """Result tables written partitionBy('part') must prune at read time:
+    a part-filtered scan shows PartitionFilters and reads only that
+    partition's files — the layout that keeps per-partition re-validation
+    and downstream consumers from scanning the whole 10^12-row history."""
+    df = spark.range(0, 10000).selectExpr(
+        "id", "id % 8 AS part", "id * 2 AS n_violations"
+    )
+    df.write.partitionBy("part").parquet(f"{tmp_path}/verdicts")
+    read = spark.read.parquet(f"{tmp_path}/verdicts").where(F.col("part") == 3)
+    assert read.count() == 1250
+    plan = plan_of(read)
+    assert "PartitionFilters: [isnotnull(part" in plan or "PartitionFilters: [(part" in plan, plan
