@@ -63,6 +63,44 @@ def split_case_sql(id_sql: str, weights: dict[str, int] | None = None) -> str:
     return "CASE " + " ".join(parts) + " END"
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    near_dup_pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """Train/val/test split that never separates near-duplicates: every
+    member of a connected near-dup component is routed by the COMPONENT
+    label's hash, so no near-dup of a test document can leak into train
+    (the classic eval-contamination bug). Rows in no pair route by their
+    own id, identically to :func:`with_split`.
+
+    One components computation (operators/dedup.duplicate_components) +
+    one broadcast-sized left join (components exist only for paired rows,
+    a small fraction of the corpus) + the zero-shuffle split projection.
+    """
+    from schema_inference_spark.operators.dedup import duplicate_components
+
+    comps = duplicate_components(near_dup_pairs, id_col).withColumnRenamed(
+        "component", "_component"
+    )
+    routed = df.join(comps, id_col, "left").withColumn(
+        "_route", F.coalesce("_component", F.col(id_col))
+    )
+    weights = weights or {"train": 80, "val": 10, "test": 10}
+    total = sum(weights.values())
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = split_bucket_expr(F.col("_route"))
+    expr = None
+    edge = 0
+    for name, w in weights.items():
+        edge += w
+        cond = bucket < edge
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return routed.withColumn("split", expr).drop("_component", "_route")
+
+
 def stratified_hash_sample(
     df: DataFrame, id_col: str, fraction: float, n_buckets: int = 10_000
 ) -> DataFrame:

@@ -84,3 +84,48 @@ def test_quantile_sketch_tracks_exact_percentiles(spark, sf_dir):
         scale = max(1.0, e["p95"] - e["p25"])
         for q in ("p25", "p50", "p95"):
             assert abs(a[q] - e[q]) / scale < 0.01, (flag, q, a[q], e[q])
+
+
+def test_leakage_safe_split_keeps_components_together(spark, sf_dir):
+    """Near-dup components must land entirely in ONE split (no eval
+    contamination), while unpaired rows split like with_split."""
+    from schema_inference_spark.operators.dedup import lsh_candidate_pairs
+    from schema_inference_spark.operators.sampling import leakage_safe_split, with_split
+    from schema_inference_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", n_perm=4, band_size=2)
+    if pairs.isEmpty():
+        pytest.skip("no near-dup pairs at this SF")
+    out = leakage_safe_split(docs, pairs, "doc_id")
+
+    # every pair's two sides share a split
+    split_of = out.select("doc_id", "split")
+    a = pairs.join(split_of.withColumnRenamed("doc_id", "id_a"), "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    both = a.join(split_of.withColumnRenamed("doc_id", "id_b"), "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    assert both.where(F.col("split_a") != F.col("split_b")).count() == 0
+
+    # the naive split DOES separate at least one pair here (the guard is
+    # load-bearing, not vacuous)
+    naive = with_split(docs, "doc_id").select("doc_id", "split")
+    na = pairs.join(naive.withColumnRenamed("doc_id", "id_a"), "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    nboth = na.join(naive.withColumnRenamed("doc_id", "id_b"), "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    assert nboth.where(F.col("split_a") != F.col("split_b")).count() > 0
+
+    # unpaired rows keep the plain with_split assignment
+    paired_ids = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    unpaired = split_of.join(paired_ids, "doc_id", "left_anti")
+    diff = unpaired.join(
+        naive.withColumnRenamed("split", "naive_split"), "doc_id"
+    ).where(F.col("split") != F.col("naive_split"))
+    assert diff.count() == 0
