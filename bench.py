@@ -41,6 +41,7 @@ HEADLINE = [
     "embedding_topk_ivf",
     "orders_rule_checks",
     "lineitem_generic_profile",
+    "lineitem_profile_hll",
 ]
 
 

@@ -183,15 +183,23 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """Per-document SimHash fingerprint via exploded token votes.
 
-    The explode -> groupBy(id) shape partial-aggregates the bit balances
-    map-side; fingerprints assemble from the 16 balance sums."""
+    The explode -> groupBy(id) shape partial-aggregates SWAR-packed bit
+    counters map-side (15 packed sums instead of 60 conditional sums for
+    the 60-bit fingerprint — functions/hashing.py); the DuckDB oracle uses
+    the independent per-bit balance formulation, so the packing is
+    cross-checked bit-for-bit."""
+    from schema_inference_spark.functions.hashing import (
+        simhash_from_packed,
+        simhash_packed_aggs,
+    )
+
     tokens = df.select(
         id_col,
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
     hashed = tokens.select(id_col, md5_long_expr(F.col("token")).alias("token_hash"))
-    balances = hashed.groupBy(id_col).agg(*simhash_bit_balance_aggs(n_bits))
-    return balances.select(id_col, simhash_from_balances(n_bits).alias("simhash"))
+    packed = hashed.groupBy(id_col).agg(*simhash_packed_aggs(n_bits))
+    return packed.select(id_col, simhash_from_packed(n_bits).alias("simhash"))
 
 
 def duplicate_components(
