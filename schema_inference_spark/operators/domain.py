@@ -99,10 +99,14 @@ def domain_violations(
             F.to_json(F.struct(F.lit("caption is null").alias("reason"))).alias("detail"),
         ),
     )
-    viols = F.filter(F.array(fmt_v, dims_v, cap_v), lambda v: v.isNotNull())
+    # explode-then-WHERE instead of a filter() lambda: HOFs evaluate
+    # interpreted per row in Spark 4.1.2, and this runs once per image.
+    # explode emits the null slots; the codegen'd WHERE drops them in the
+    # same whole-stage span.
+    viols = F.array(fmt_v, dims_v, cap_v)
     return images.select(
         F.col(part_col).alias("part"), "image_id", F.explode(viols).alias("v")
-    ).select(
+    ).where(F.col("v").isNotNull()).select(
         "part",
         F.col("v.check_name").alias("check_name"),
         "image_id",

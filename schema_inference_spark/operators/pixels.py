@@ -112,7 +112,10 @@ def pixel_violations(
             F.to_json(F.struct(F.round("psnr_db", 2).alias("psnr_db"))).alias("detail"),
         ),
     )
-    viols = F.filter(F.array(decode_v, dims_v, psnr_v), lambda v: v.isNotNull())
-    return r.select("part", "image_id", F.explode(viols).alias("v")).select(
+    # explode + codegen WHERE, not an interpreted filter() lambda (hot path)
+    viols = F.array(decode_v, dims_v, psnr_v)
+    return r.select("part", "image_id", F.explode(viols).alias("v")).where(
+        F.col("v").isNotNull()
+    ).select(
         "part", F.col("v.check_name").alias("check_name"), "image_id", F.col("v.detail").alias("detail")
     )

@@ -94,8 +94,11 @@ def apply_rules(
             )
             for r in row_rules
         ]
-        hits = F.filter(F.array(*structs), lambda v: v.isNotNull())
-        out = df.select(*id_cols, F.explode(hits).alias("v")).select(
+        # explode + codegen WHERE, not an interpreted filter() lambda
+        hits = F.array(*structs)
+        out = df.select(*id_cols, F.explode(hits).alias("v")).where(
+            F.col("v").isNotNull()
+        ).select(
             F.col("v.rule_name").alias("rule_name"), *id_cols, F.col("v.detail").alias("detail")
         )
 
