@@ -156,3 +156,24 @@ def test_python_lattice_matches_catalyst_lattice(spark):
     }
     for v in vals:
         assert _infer_json_type_py(v) == got[v], (v, _infer_json_type_py(v), got[v])
+
+
+def test_merged_shape_agrees_with_spark_native_json_inference(spark):
+    """Cross-check against Spark's OWN JSON schema inference: for flat docs
+    whose values are native JSON scalars, our merged top-N schema must
+    agree with spark.read.json's inferred StructType under the standard
+    type mapping (integer->bigint widened, number->double, string->string,
+    boolean->boolean)."""
+    docs = (
+        ['{"a": 1, "b": "x", "c": 1.5, "d": true}'] * 5
+        + ['{"a": 7, "b": "y", "c": 2.0, "d": false}'] * 3
+    )
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    merged = merged_top_schema(df, flat_json_shape_expr(F.col("doc")), merge_n=5)
+
+    native = spark.read.json(spark.sparkContext.parallelize(docs)).schema
+    native_types = {f.name: f.dataType.simpleString() for f in native.fields}
+
+    MAP = {"integer": "bigint", "number": "double", "string": "string", "boolean": "boolean"}
+    for name, sub in merged["properties"].items():
+        assert MAP[sub["type"]] == native_types[name], (name, sub, native_types)
