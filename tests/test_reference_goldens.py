@@ -142,3 +142,74 @@ def test_distinct_counts_are_topk_ordered_like_reference_collect():
 )
 def test_kv_value_schema_rules(value, expected):
     assert kv_value_schema(value) == expected
+
+
+def test_event_document_schema_pair_1_to_2():
+    """The reference's other genuine document->schema golden pair:
+    json/1.json (a real CHAMPION_SPECIAL_KILL event) must produce exactly
+    the expected tree json/2.json."""
+    from schema_inference_spark.functions.json_shape import json_shape_of
+
+    doc = json.load(open("/root/reference/src/test/resources/json/1.json"))
+    expected = json.load(open("/root/reference/src/test/resources/json/2.json"))
+    assert json_shape_of(doc) == expected
+
+
+def test_three_level_nesting_product_fixture():
+    """product.json: 3-level object nesting recurses correctly."""
+    from schema_inference_spark.functions.json_shape import json_shape_of
+
+    doc = json.load(open("/root/reference/src/test/resources/product.json"))
+    shape = json_shape_of(doc)
+    owner = shape["properties"]["brand"]["properties"]["owner"]
+    assert owner == {
+        "type": "object",
+        "properties": {"id": {"type": "string"}, "name": {"type": "string"}},
+    }
+
+
+def test_malformed_event_error_path(spark):
+    """data/json/legs_gameevent4.json carries invalid JSON ('\"gameId\": ,')
+    — the documented error-path fixture. The shape UDF must null it (P4
+    filter semantics) while its valid siblings all parse."""
+    from schema_inference_spark.functions.json_shape import make_shape_udf
+
+    suffixes = ["", "2", "3", "4", "5", "6"]
+    docs = [
+        open(f"/root/reference/data/json/legs_gameevent{i}.json").read()
+        for i in suffixes
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    udf = make_shape_udf()
+    got = [r["s"] for r in df.select(udf(F.col("doc")).alias("s")).collect()]
+    # fixtures 4 AND 5 are malformed (4: '"gameId": ,'; 5: same family) —
+    # both must null out; the valid siblings must all parse to object trees
+    malformed = {suffixes.index("4"), suffixes.index("5")}
+    for i, g in enumerate(got):
+        if i in malformed:
+            assert g is None, suffixes[i]
+        else:
+            assert g is not None and json.loads(g)["type"] == "object", suffixes[i]
+
+
+def test_additional_fvalues_rows_parse_consistently(spark):
+    """fvalues2/3/5: more real ^A rows. Every row must flow through
+    parse_delimited + the recursive KV shape, and all produced property
+    schemas must be mergeable with the fvalues.txt golden superset
+    (the production A8 fold never rejects a real row's schema)."""
+    from schema_inference_spark.functions.json_shape import kv_schema_of
+
+    raws = []
+    for name in ("fvalues.txt", "fvalues2.txt", "fvalues3.txt", "fvalues5.txt"):
+        raws.append(open(f"/root/reference/src/test/resources/{name}").read().strip("\n"))
+    df = spark.createDataFrame([(r,) for r in raws], "value string")
+    parsed = parse_delimited(df, "value", drop_empty=False).collect()
+    assert len(parsed) == len(raws)  # all are well-formed 3-field rows
+    merged = None
+    for row in parsed:
+        schema = kv_schema_of(dict(row["kv"]))
+        assert schema["type"] == "object" and schema["properties"]
+        merged = merge_schemas(merged, schema)
+    expected = json.load(open(EXPECTED_TREE, encoding="utf-8"))
+    # the merged superset covers every field of the golden tree
+    assert set(expected["properties"]) <= set(merged["properties"])
