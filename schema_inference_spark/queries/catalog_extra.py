@@ -218,6 +218,56 @@ ORDER BY user_id, event_id
 """
 
 
+def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: training docs sharing any 5-gram with a benchmark
+    (eval) set — the GPT-3/Pile n-gram overlap check. Benchmark = every
+    50th doc (stands in for an external eval suite).
+
+    Scale shape: benchmark shingle hashes are tiny (eval suites are small)
+    -> broadcast; the training side is ONE explode + semi join, no
+    all-pairs anything. Output: contaminated doc ids + how many distinct
+    benchmark 5-grams they share."""
+    from schema_inference_spark.functions.hashing import md5_long_expr, shingles_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+
+    def grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(shingles_expr(F.lower(F.col("text")), k=5)).alias("gram"),
+        ).select("doc_id", md5_long_expr(F.col("gram")).alias("gram_hash")).distinct()
+
+    bench_grams = grams(bench).select("gram_hash").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(bench_grams), "gram_hash", "inner")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram_hash").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def _contamination_sql() -> str:
+    from schema_inference_spark.functions.hashing import md5_long_sql, shingles_sql
+
+    gram_hash = md5_long_sql("g")
+    return f"""
+WITH grams AS (
+  SELECT doc_id, {gram_hash} AS gram_hash
+  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)', 5)}) AS g FROM documents)
+  GROUP BY doc_id, {gram_hash}
+), bench AS (
+  SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 50 = 0
+)
+SELECT g.doc_id, count(DISTINCT g.gram_hash) AS n_shared_grams
+FROM grams g JOIN bench USING (gram_hash)
+WHERE g.doc_id % 50 != 0
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
 def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile quantiles per group — the 100 TB quantile path
     (mergeable sketch, one partial+final agg pass; exact `percentile`
@@ -250,4 +300,6 @@ def extra_specs() -> list[QuerySpec]:
         QuerySpec("order_status_cube", order_status_cube, CUBE_SQL, "CUBE grouping sets"),
         QuerySpec("event_value_window_stats", event_value_window_stats, WINDOW_STATS_SQL,
                   "ntile/lag/cume_dist analytic windows"),
+        QuerySpec("doc_benchmark_contamination", doc_benchmark_contamination,
+                  _contamination_sql(), "n-gram benchmark decontamination"),
     ]
