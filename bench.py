@@ -114,19 +114,18 @@ def main() -> None:
     from schema_inference_spark.session import get_spark
     from schema_inference_spark.queries import registry
 
-    # Small-file split sizing: the sf0.1 parquet files are a few MB, which
-    # the default 128MB maxPartitionBytes reads as ONE task — a local-bench
-    # artifact a 100TB table does not have. Splitting at row-group
-    # granularity restores the parallelism the same plan gets at scale.
-    spark = get_spark(
-        app_name="bench",
-        master=f"local[{cpus}]",
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": os.environ.get(
-                "SPARK_GRAFT_MAX_PARTITION_BYTES", "262144"
-            )
-        },
-    )
+    # Split sizing: r1 forced maxPartitionBytes=256KB to parallelize the
+    # small single-row-group sf tables — but that shattered the image
+    # corpus scan into ~6500 tiny tasks and tripled the suite's wall time
+    # (r2 dissection: 16s -> ~5s). load_table's ensure_min_partitions now
+    # parallelizes the relational side explicitly, so the scan split size
+    # stays at Spark's default unless overridden.
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES"):
+        extra["spark.sql.files.maxPartitionBytes"] = os.environ[
+            "SPARK_GRAFT_MAX_PARTITION_BYTES"
+        ]
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", extra_conf=extra)
 
     specs = registry()
     timings: dict[str, float] = {}
