@@ -27,10 +27,7 @@ from schema_inference_spark.functions.hashing import (
     SIMHASH_BITS,
     hamming_distance_expr,
     md5_long_expr,
-    minhash_signature_exprs,
     shingles_expr,
-    simhash_bit_balance_aggs,
-    simhash_from_balances,
 )
 
 
