@@ -131,3 +131,65 @@ def _split_concatenated_frames(buf: bytes) -> list[bytes]:
 def frame_concat(frame_bufs: list[bytes]) -> bytes:
     """Test helper: build a 'video' payload from engine-codec frames."""
     return b"".join(frame_bufs)
+
+
+# --- audio ------------------------------------------------------------------
+
+AUDIO_MAGIC = b"FPCM"  # engine audio container: magic + uint32 rate + int16 LE samples
+
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, sample_rate int, n_samples long, duration_sec double, "
+    "rms double, peak double, zero_crossing_rate double"
+)
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Engine audio codec: FPCM + uint32 LE rate + int16 LE samples."""
+    pcm = np.clip(np.asarray(samples), -1.0, 1.0)
+    ints = np.round(pcm * 32767.0).astype("<i2")
+    return AUDIO_MAGIC + int(sample_rate).to_bytes(4, "little") + ints.tobytes()
+
+
+def _decode_audio_or_raise(buf: bytes) -> tuple[int, np.ndarray]:
+    if buf is not None and len(buf) >= 8 and buf[:4] == AUDIO_MAGIC:
+        rate = int.from_bytes(buf[4:8], "little")
+        samples = np.frombuffer(buf[8:], dtype="<i2").astype(np.float64) / 32767.0
+        return rate, samples
+    raise NotImplementedError(
+        "non-engine audio container: plug in soundfile/librosa here for "
+        "real WAV/FLAC/MP3 payloads"
+    )
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """Per-clip audio features (duration, RMS, peak, zero-crossing rate)
+    via one Arrow-batched mapInPandas pass over (audio_id, bytes) — the
+    audio analog of extract_image_features; same schema/batch/partitioning
+    contract, numpy math over decoded samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "audio_id", "sample_rate", "n_samples", "duration_sec",
+            "rms", "peak", "zero_crossing_rate",
+        )
+        for b in batches:
+            out = {k: [] for k in cols}
+            for audio_id, buf in zip(b["audio_id"], b["bytes"]):
+                try:
+                    rate, s = _decode_audio_or_raise(buf)
+                except (ValueError, NotImplementedError):
+                    continue
+                if len(s) == 0 or rate <= 0:
+                    continue
+                out["audio_id"].append(audio_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["duration_sec"].append(len(s) / rate)
+                out["rms"].append(float(np.sqrt(np.mean(s * s))))
+                out["peak"].append(float(np.max(np.abs(s))))
+                out["zero_crossing_rate"].append(
+                    float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                )
+            yield pd.DataFrame(out)
+
+    return audio.select("audio_id", "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -212,3 +212,36 @@ def test_streaming_session_windows_equal_batch(spark, sf_dir):
             .collect()
         }
     assert streamed == batch
+
+
+def test_audio_feature_extraction(spark):
+    """Engine-codec audio decode + features: a pure 440Hz sine has
+    RMS ~ A/sqrt(2) and zero-crossing rate ~ 2f/sr; silence has zero
+    everything; a foreign container is skipped at the swap point."""
+    import numpy as np
+
+    from schema_inference_spark.multimodal.stubs import (
+        encode_audio,
+        extract_audio_features,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    silence = np.zeros(sr // 2)
+    rows = [
+        ("sine", encode_audio(sine, sr)),
+        ("silence", encode_audio(silence, sr)),
+        ("foreign", b"RIFF....WAVE"),  # real WAV magic: not the engine codec
+    ]
+    df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+    got = {r["audio_id"]: r for r in extract_audio_features(df).collect()}
+
+    assert set(got) == {"sine", "silence"}  # foreign skipped, not crashed
+    s = got["sine"]
+    assert abs(s["duration_sec"] - 1.0) < 1e-9
+    assert abs(s["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(s["zero_crossing_rate"] - 2 * 440 / sr) < 0.005
+    assert 0.49 < s["peak"] < 0.501  # int16 quantization can tip just past 0.5
+    z = got["silence"]
+    assert z["rms"] == 0.0 and z["peak"] == 0.0
