@@ -48,8 +48,21 @@ def parse_delimited(df: DataFrame, col: str = "value", drop_empty: bool = True) 
     ).where((F.col("_nf") == 3) & (F.length("fvalue") > 0))
     kv = F.str_to_map(F.col("fvalue"), F.lit(PAIR_SEP), F.lit(KV_SEP))
     if drop_empty:
-        # reference checkAndProcessIfJson, JsonUtils.java:93-105
-        kv = F.map_filter(kv, lambda _k, v: v.isNotNull() & (v != "") & (v != "null"))
+        # production value hygiene (ProcessColumn.formJsonFromRow:61-91):
+        # sanitize (strip NUL/newlines, trim), then drop null/empty/'null'
+        # (checkAndProcessIfJson, JsonUtils.java:93-105) and any non-ASCII
+        # value (CommonUtils.isPureAscii:138-148 — the reference emits only
+        # pure-ASCII values into the assembled JSON).
+        kv = F.transform_values(
+            kv, lambda _k, v: F.trim(F.translate(v, "\u0000\n\r", ""))
+        )
+        kv = F.map_filter(
+            kv,
+            lambda _k, v: v.isNotNull()
+            & (v != "")
+            & (F.lower(v) != "null")
+            & ~v.rlike("[^\\x00-\\x7F]"),
+        )
     return parsed.drop("_nf").withColumn("kv", kv)
 
 

@@ -59,3 +59,22 @@ def test_display_remap(spark):
     df = spark.createDataFrame([(ROWS[0],)], "value string")
     remapped = df.select(display_remap(F.col("value")).alias("r")).collect()[0]["r"]
     assert remapped == "1589500000|host-1|eventType=CHAMPION_KILL,gameId=123,dmg=45.5"
+
+
+def test_production_value_hygiene(spark):
+    """P2 production cleaning (formJsonFromRow + isPureAscii): values are
+    sanitized (NUL/CR/LF stripped, trimmed) and dropped when empty, 'null'
+    (case-insensitive), or non-ASCII — keys with dropped values vanish."""
+    payload = "\x03".join(
+        [
+            "keep\x02 value ",          # trimmed, kept
+            "noisy\x02a\nb\rc\x00d",    # control chars stripped -> 'abcd'
+            "empty\x02",                # dropped
+            "nul\x02NULL",              # dropped (case-insensitive)
+            "uni\x02café",         # dropped (non-ASCII)
+        ]
+    )
+    raw = f"123\x01host\x01{payload}"
+    df = spark.createDataFrame([(raw,)], "value string")
+    kv = dict(parse_delimited(df, "value").collect()[0]["kv"])
+    assert kv == {"keep": "value", "noisy": "abcd"}
