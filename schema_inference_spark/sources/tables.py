@@ -48,6 +48,17 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     return df.repartition(target)
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC. The engine's epoch arithmetic
+    (unix_timestamp over the corpus's TIMESTAMP_NTZ columns) is
+    session-timezone-dependent in Spark, while the DuckDB oracles treat
+    NTZ wall-clock as UTC — so every query entry point declares UTC
+    rather than assuming the caller's (e.g. the driver's) session was
+    built by our get_spark."""
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
 ) -> DataFrame:
@@ -55,6 +66,7 @@ def load_table(
 
     ``parallelize`` applies :func:`ensure_min_partitions` (no-op whenever
     the file layout already provides enough splits)."""
+    ensure_utc(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return ensure_min_partitions(df) if parallelize else df
 

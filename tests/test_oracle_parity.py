@@ -27,3 +27,20 @@ def test_entry_contract(spark):
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 18
+
+
+def test_epoch_queries_survive_non_utc_caller_session(spark, sf_dir):
+    """The driver supplies its own SparkSession; if its timezone isn't UTC,
+    epoch arithmetic over NTZ timestamps would shift by the offset. The
+    query entry points must pin UTC themselves."""
+    from schema_inference_spark.queries import registry
+
+    spec = registry()["hourly_event_windows"]
+    baseline = sorted(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        shifted_session = sorted(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert shifted_session == baseline
