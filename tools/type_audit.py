@@ -1,9 +1,10 @@
 """Dump Spark result dtypes vs DuckDB result types per oracle query and flag
-mismatches. Hypothesis: the driver's value hash is type-sensitive (e.g. via
-pandas/arrow conversion), so any query whose two sides produce different
-result types hash-fails even when values are identical.
+mismatches. (Round-1 postmortem tool: the driver's value hash proved
+type-sensitive — this audit found the exact decimal/HUGEINT widenings that
+caused all 15 r1 hash-fails. Kept as a diagnostic; the enforced gate now
+lives in tests/oracle_harness.py's type lint.)
 
-Usage: python tools/type_audit.py [sf_dir]
+Usage: PYTHONPATH=. python tools/type_audit.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -15,13 +16,6 @@ from schema_inference_spark.queries import registry
 from schema_inference_spark.session import get_spark
 from tests.oracle_harness import duck_con
 
-FAILED_R1 = {
-    "q1_pricing_summary", "q3_topk_revenue", "priority_share",
-    "hourly_event_windows", "user_session_counts", "event_sample_sorted",
-    "event_profile", "error_asof_last_click", "order_rollup",
-    "user_bucket_event_pivot", "shape_counts", "shape_topk",
-    "doc_token_stats", "streaming_hourly_windows", "orders_rule_checks",
-}
 
 
 def main():
@@ -44,10 +38,7 @@ def main():
         }
         out[name] = diff
     mism = {n for n, d in out.items() if d}
-    print("queries with type mismatch:", sorted(mism))
-    print("r1 failures:", sorted(FAILED_R1))
-    print("mismatch but passed r1:", sorted(mism - FAILED_R1))
-    print("failed r1 but no mismatch:", sorted(FAILED_R1 - mism))
+    print("queries with type mismatch:", sorted(mism) or "none")
     print()
     for n, d in out.items():
         if d:
