@@ -125,3 +125,99 @@ def test_flat_shape_spark_duck_parity(spark, duck, docs):
         r[0] for r in duck.execute(f"SELECT {flat_json_shape_sql('doc')} FROM dd").fetchall()
     )
     assert spark_out == duck_out
+
+
+# --- MinHash / SimHash three-way fuzz --------------------------------------
+#
+# Independent plain-Python reimplementation (md5 via hashlib, no Spark/DuckDB
+# code shared) cross-checked against both engines on random word documents.
+
+import hashlib
+
+from schema_inference_spark.functions.hashing import (
+    MINHASH_P,
+    SIMHASH_BITS,
+    minhash_perm_consts,
+    minhash_sql,
+    simhash_sql,
+    md5_long_sql,
+)
+
+
+def _md5_60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _minhash_py(text: str, seed: int, k: int = 3) -> int | None:
+    words = text.split(" ")
+    if len(words) < k:
+        return None
+    a, b = minhash_perm_consts(seed)
+    hs = [_md5_60(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)]
+    return min((a * (h % MINHASH_P) + b) % MINHASH_P for h in hs)
+
+
+def _simhash_py(text: str, n_bits: int = SIMHASH_BITS) -> int | None:
+    tokens = [t for t in text.lower().split() if t]
+    if not tokens:
+        return None
+    counts = [0] * n_bits
+    for t in tokens:
+        h = _md5_60(t)
+        for b in range(n_bits):
+            counts[b] += (h >> b) & 1
+    n = len(tokens)
+    return sum(1 << b for b in range(n_bits) if 2 * counts[b] >= n)
+
+
+WORD = st.text(alphabet=st.sampled_from(list("abcxyz019")), min_size=1, max_size=6)
+doc_texts = st.lists(
+    st.lists(WORD, min_size=1, max_size=12).map(" ".join), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(doc_texts)
+def test_minhash_simhash_three_way(spark, duck, texts):
+    from schema_inference_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got_mh = {
+        r["doc_id"]: r["mh0"]
+        for r in minhash_signatures(df, "doc_id", "text", n_perm=1).collect()
+    }
+    got_sh = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, "doc_id", "text").collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE fuzz_docs(doc_id INT, text VARCHAR)")
+    duck.executemany("INSERT INTO fuzz_docs VALUES (?, ?)", list(enumerate(texts)))
+    duck_mh = dict(
+        duck.execute(
+            f"SELECT doc_id, {minhash_sql('text', 0)} FROM fuzz_docs"
+        ).fetchall()
+    )
+    bal, fp = simhash_sql()
+    duck_sh = dict(
+        duck.execute(
+            f"""WITH tokens AS (
+                  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+                  FROM fuzz_docs),
+                hashed AS (SELECT doc_id, {md5_long_sql('token')} AS token_hash
+                           FROM tokens WHERE token != ''),
+                balances AS (SELECT doc_id, {bal} FROM hashed GROUP BY doc_id)
+                SELECT doc_id, {fp} FROM balances"""
+        ).fetchall()
+    )
+    for i, t in enumerate(texts):
+        py_mh, py_sh = _minhash_py(t, 0), _simhash_py(t)
+        assert got_mh[i] == py_mh == duck_mh[i], ("minhash", i, t)
+        if py_sh is None:
+            assert i not in duck_sh and got_sh.get(i) is None
+        else:
+            assert got_sh[i] == py_sh == duck_sh[i], ("simhash", i, t)
