@@ -55,7 +55,10 @@ def ensure_utc(spark: SparkSession) -> None:
     NTZ wall-clock as UTC — so every query entry point declares UTC
     rather than assuming the caller's (e.g. the driver's) session was
     built by our get_spark."""
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NOTE: conf.get(key, default) VALIDATES the default value in Spark 4
+    # (an empty-string default throws INVALID_CONF_VALUE) — the key always
+    # has a value, so read it without a default.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
