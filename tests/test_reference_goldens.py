@@ -213,3 +213,21 @@ def test_additional_fvalues_rows_parse_consistently(spark):
     expected = json.load(open(EXPECTED_TREE, encoding="utf-8"))
     # the merged superset covers every field of the golden tree
     assert set(expected["properties"]) <= set(merged["properties"])
+
+
+def test_reanalyze_reads_references_real_distinct_output(spark):
+    """S3 resumability parity on the reference's OWN persisted profile: the
+    re-analysis path (SeqScanAsJson.java:66-77 analog) reads the real
+    production data/distinct files directly and its top-10 merge equals the
+    A8 fold computed independently from the same rows."""
+    from schema_inference_spark.operators.shapes import reanalyze_persisted_shapes
+
+    merged = reanalyze_persisted_shapes(
+        spark, "/root/reference/data/distinct", merge_n=10
+    )
+    rows = _load_distinct_rows()
+    expected = None
+    for r in sorted(rows, key=lambda r: (-r["count"], r["schema"]))[:10]:
+        expected = merge_schemas(expected, json.loads(r["schema"]))
+    assert merged == expected
+    assert merged["properties"]["itemActor"]["type"] == "object"
