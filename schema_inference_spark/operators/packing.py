@@ -36,6 +36,83 @@ from pyspark.sql import functions as F
 _PART_SHIFT = 1 << 40
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    embedding-ingestion precursor (RAG/embedding pipelines consume fixed
+    windows, not whole documents).
+
+    Pure whole-stage-codegen: split -> explode(sequence of chunk starts) ->
+    slice + array_join. One generator per row, no Python, no shuffle; the
+    chunk step is (chunk_tokens - overlap) so consecutive chunks share
+    ``overlap`` tokens. Output: (id, chunk_id, chunk_text, n_tokens),
+    chunk_id 0-based in document order.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.col(text_col), r"\s+")
+    # chunk start indices (1-based): 1, 1+step, ... while start <= n
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("_n"), F.lit(1)), F.lit(step)
+    )
+    chunked = (
+        df.select(F.col(id_col), words.alias("_w"), F.size(words).alias("_n"))
+        .where(F.col("_n") > 0)
+        .select(
+            id_col,
+            "_w",
+            "_n",
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        # drop a trailing start that only re-covers overlap already emitted
+        .where((F.col("_start") == 1) | (F.col("_start") + F.lit(overlap) <= F.col("_n") + 1))
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join(F.slice(F.col("_w"), F.col("_start"), chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(chunk_tokens), F.col("_n") - F.col("_start") + 1
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+    return chunked
+
+
+def chunk_documents_sql(
+    id_sql: str = "doc_id",
+    text_sql: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle computing identical chunks."""
+    step = chunk_tokens - overlap
+    return f"""
+WITH base AS (
+  SELECT {id_sql} AS doc_id, regexp_split_to_array({text_sql}, '\\s+') AS w,
+         len(regexp_split_to_array({text_sql}, '\\s+')) AS n
+  FROM {table}
+), starts AS (
+  SELECT doc_id, w, n, unnest(range(1, greatest(n, 1) + 1, {step})) AS start,
+         generate_subscripts(range(1, greatest(n, 1) + 1, {step}), 1) - 1 AS chunk_id
+  FROM base WHERE n > 0
+)
+SELECT doc_id, chunk_id::INT AS chunk_id,
+       array_to_string(list_slice(w, start, start + {chunk_tokens} - 1), ' ') AS chunk_text,
+       least({chunk_tokens}, n - start + 1)::INT AS n_tokens
+FROM starts
+WHERE start = 1 OR start + {overlap} <= n + 1
+"""
+
+
 def pack_documents(
     df: DataFrame,
     id_col: str = "doc_id",

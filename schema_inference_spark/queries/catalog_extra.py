@@ -287,6 +287,25 @@ def price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (embedding-ingestion precursor),
+    bounded to docs 0-19 for the oracle check."""
+    from schema_inference_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return chunk_documents(docs, chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def _chunks_sql() -> str:
+    from schema_inference_spark.operators.packing import chunk_documents_sql
+
+    inner = chunk_documents_sql(chunk_tokens=32, overlap=8,
+                                table="(SELECT * FROM documents WHERE doc_id < 20)")
+    return inner + " ORDER BY doc_id, chunk_id"
+
+
 def extra_specs() -> list[QuerySpec]:
     return [
         QuerySpec("doc_split_counts", doc_split_counts, _split_sql(),
@@ -302,4 +321,6 @@ def extra_specs() -> list[QuerySpec]:
                   "ntile/lag/cume_dist analytic windows"),
         QuerySpec("doc_benchmark_contamination", doc_benchmark_contamination,
                   _contamination_sql(), "n-gram benchmark decontamination"),
+        QuerySpec("doc_chunks", doc_chunks, _chunks_sql(),
+                  "overlapping token-window chunking"),
     ]
