@@ -66,3 +66,28 @@ def test_packing_is_deterministic_and_dense(spark, sf_dir):
     total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
     lower_bound_bins = total_tokens / 512
     assert stats["n_bins"] <= 1.3 * lower_bound_bins + 4  # near-optimal bin count
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Invariant: stripping the overlap from every chunk after the first and
+    concatenating reconstructs the original token sequence exactly — no
+    token lost or duplicated, for documents of many lengths around the
+    chunk/step boundaries."""
+    from schema_inference_spark.operators.packing import chunk_documents
+
+    chunk, overlap = 16, 4
+    step = chunk - overlap
+    lengths = [1, 2, step, step + 1, chunk - 1, chunk, chunk + 1,
+               2 * step, 2 * step + overlap, 5 * chunk, 97]
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for i, n in enumerate(lengths):
+        chunks = [t for _, t in sorted(by_doc[i])]
+        rebuilt = chunks[0].split(" ")
+        for c in chunks[1:]:
+            rebuilt += c.split(" ")[overlap:]
+        assert rebuilt == rows[i][1].split(" "), (i, n)
