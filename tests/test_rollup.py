@@ -55,3 +55,44 @@ def test_refresh_touches_only_rollup_grain(spark, sf_dir):
             hourly_delta_aggregate(ev).select("hour_epoch", "event_type").distinct().count()
         )
         assert before <= out.count() == expected_buckets
+
+
+def test_streaming_ingest_refreshes_rollup(spark, sf_dir):
+    """§2.9 composition: a micro-batched stream drives refresh_hourly_rollup
+    through foreachBatch; the final rollup equals the batch aggregate of
+    everything ingested (decimal-exact, any batch boundaries)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events", parallelize=False)
+    with tempfile.TemporaryDirectory() as d:
+        ev.repartition(5).write.parquet(f"{d}/in")  # several files = several batches
+        stream = spark.readStream.schema(ev.schema).option(
+            "maxFilesPerTrigger", 2
+        ).parquet(f"{d}/in")
+
+        def _refresh(batch_df, _epoch):
+            if not batch_df.isEmpty():
+                refresh_hourly_rollup(spark, f"{d}/rollup", batch_df)
+
+        q = (
+            stream.writeStream.foreachBatch(_refresh)
+            .option("checkpointLocation", f"{d}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180) and q.exception() is None
+
+        got = {
+            (r["hour_epoch"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in read_rollup(spark, f"{d}/rollup").collect()
+        }
+    want = {
+        (r["hour_epoch"], r["event_type"]): (
+            r["n"],
+            float(r["sum_value"]) if r["sum_value"] is not None else None,
+        )
+        for r in hourly_delta_aggregate(ev).collect()
+    }
+    assert got == want
