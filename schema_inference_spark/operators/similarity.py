@@ -278,6 +278,64 @@ def cosine_topk_ivf(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Build-once side of the ANN lifecycle: train centroids (kmeans_train),
+    assign every vector, and store the table PARTITIONED BY centroid_id
+    with the centroid matrix alongside. A probe query then reads only
+    n_probe/k of the data via parquet partition pruning — the layout that
+    makes IVF an INDEX rather than a full-scan filter (asserted on the
+    query plan in tests)."""
+    spark = df.sparkSession
+    centroids = kmeans_train(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assignments(df, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/vectors"
+    )
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "centroid_id int, centroid array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-many side: pick the n_probe closest centroids driver-side
+    (tiny centroid table), scan ONLY their partitions, brute-force within."""
+    import math
+
+    cents = [
+        (r["centroid_id"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+        )
+
+    probe = sorted(cents, key=lambda c: -cos(query_vec, c[1]))[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+    vectors = spark.read.parquet(f"{path}/vectors").where(
+        F.col("centroid_id").isin(probe_ids)
+    )
+    return cosine_topk(vectors, query_vec, k, id_col, vec_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -208,3 +208,31 @@ def test_ivf_with_trained_centroids_recall(spark, sf_dir):
     ivf = {r["vec_id"] for r in cosine_topk_ivf(emb, q, cents, k=10, n_probe=2).collect()}
     brute = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
     assert len(ivf & brute) / 10 >= 0.6
+
+
+def test_ivf_index_build_query_lifecycle(spark, sf_dir):
+    """Build-once/query-many ANN: the persisted, centroid-partitioned index
+    answers queries reading ONLY the probed partitions (PartitionFilters in
+    the scan), with the same results as the in-memory IVF path."""
+    import tempfile
+
+    from schema_inference_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_topk_ivf,
+        query_ivf_index,
+    )
+    from schema_inference_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    with tempfile.TemporaryDirectory() as d:
+        cents = build_ivf_index(emb, f"{d}/idx", k=8, max_iter=4)
+        got = query_ivf_index(spark, f"{d}/idx", q, k=10, n_probe=2)
+        got_rows = [(r["vec_id"], r["cosine_sim"]) for r in got.collect()]
+
+        mem = cosine_topk_ivf(emb, q, cents, k=10, n_probe=2)
+        mem_rows = [(r["vec_id"], r["cosine_sim"]) for r in mem.select("vec_id", "cosine_sim").collect()]
+        assert got_rows == mem_rows
+
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [centroid_id" in plan or "centroid_id#" in plan.split("PartitionFilters")[1][:80], plan
