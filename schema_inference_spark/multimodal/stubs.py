@@ -13,6 +13,8 @@ is the only change needed for real payloads.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -193,3 +195,50 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return audio.select("audio_id", "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+VIDEO_FEATURES_SCHEMA = (
+    "video_id string, n_frames int, mean_luma double, "
+    "mean_frame_delta double, max_frame_delta double"
+)
+
+
+def extract_video_features(videos: DataFrame) -> DataFrame:
+    """Temporal per-video features over the engine frame container:
+    frame count, mean luma, and inter-frame luma deltas (the scene-change /
+    frozen-frame signals a video QC pipeline thresholds on). One
+    Arrow-batched mapInPandas pass; frames decode with the engine codec,
+    foreign containers raise at the documented PyAV/ffmpeg swap point and
+    are skipped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("video_id", "n_frames", "mean_luma", "mean_frame_delta", "max_frame_delta")
+        for b in batches:
+            out = {k: [] for k in cols}
+            for video_id, buf in zip(b["video_id"], b["bytes"]):
+                try:
+                    frames = _split_concatenated_frames(buf)
+                except NotImplementedError:
+                    continue
+                pixels = []
+                for fr in frames:
+                    try:
+                        pixels.append(codec.decode_image(fr)[2].astype(np.float64))
+                    except (ValueError, struct.error, zlib.error):
+                        continue
+                if not pixels:
+                    continue
+                lumas = [float(p.mean()) for p in pixels]
+                deltas = [
+                    float(np.mean(np.abs(a - b_)))
+                    for a, b_ in zip(pixels, pixels[1:])
+                    if a.shape == b_.shape
+                ]
+                out["video_id"].append(video_id)
+                out["n_frames"].append(len(pixels))
+                out["mean_luma"].append(float(np.mean(lumas)))
+                out["mean_frame_delta"].append(float(np.mean(deltas)) if deltas else 0.0)
+                out["max_frame_delta"].append(float(np.max(deltas)) if deltas else 0.0)
+            yield pd.DataFrame(out)
+
+    return videos.select("video_id", "bytes").mapInPandas(run, VIDEO_FEATURES_SCHEMA)

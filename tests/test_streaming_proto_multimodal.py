@@ -245,3 +245,30 @@ def test_audio_feature_extraction(spark):
     assert 0.49 < s["peak"] < 0.501  # int16 quantization can tip just past 0.5
     z = got["silence"]
     assert z["rms"] == 0.0 and z["peak"] == 0.0
+
+
+def test_video_temporal_features(spark):
+    """Static video -> zero frame delta; alternating-content video -> large
+    delta; foreign container skipped."""
+    import numpy as np
+
+    from schema_inference_spark.datagen import codec
+    from schema_inference_spark.multimodal.stubs import (
+        extract_video_features,
+        frame_concat,
+    )
+
+    px_a = codec.reference_pixels("vidA", 16, 16)
+    px_b = 255 - px_a
+    static = frame_concat([codec.encode_image(px_a, "png")] * 4)
+    flicker = frame_concat(
+        [codec.encode_image(px_a if i % 2 == 0 else px_b, "png") for i in range(4)]
+    )
+    rows = [("static", static), ("flicker", flicker), ("foreign", b"\x00\x01\x02\x03mp4")]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary")
+    got = {r["video_id"]: r for r in extract_video_features(df).collect()}
+
+    assert set(got) == {"static", "flicker"}
+    assert got["static"]["n_frames"] == 4
+    assert got["static"]["max_frame_delta"] == 0.0
+    assert got["flicker"]["mean_frame_delta"] > 50.0  # inverted frames
