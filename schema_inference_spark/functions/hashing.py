@@ -152,21 +152,25 @@ def simhash_from_balances(n_bits: int = SIMHASH_BITS) -> Column:
     return acc
 
 
-# SWAR packing for the 60-bit fingerprint: 4 bit-counters of 16 bits ride in
-# each 64-bit sum, so the per-token aggregation runs 15 packed sums + one
-# count instead of 60 conditional sums. Local wall time is planning-
-# dominated and unchanged, but per-group aggregation state shrinks 4x
-# (16 int64 buffers instead of 60) — what matters in a 10^12-row shuffle.
-# Lane k of packed sum s counts bit (s + 15*k); counters
-# never carry into each other while every doc has < 65,536 tokens (2^16 per
-# lane; int64 addition is mod-2^64 so even the top lane is bit-exact, and
-# extraction masks with & 0xFFFF after the shift, which is sign-safe).
-_SWAR_LANES = 4
-_SWAR_WIDTH = 16
+# SWAR packing for the 60-bit fingerprint: 2 bit-counters of 32 bits ride in
+# each 64-bit sum, so the per-token aggregation runs 30 packed sums + one
+# count instead of 60 conditional sums — per-group aggregation state halves
+# (31 int64 buffers instead of 60), which is what matters in a 10^12-row
+# shuffle. Lane k of packed sum s counts bit (s + 30*k).
+#
+# Overflow proof (ANSI-safe — this session THROWS on bigint sum overflow,
+# ADVICE r2): per-token contribution <= 1 + 2^32 < 2^33, and a Spark string
+# caps at 2^31 bytes so a doc has < 2^30 whitespace tokens; the packed sum
+# is therefore <= 2^30 * (2^32 + 1) < 2^63 — no wraparound is ever reached,
+# and lane 0 (max 2^30 < 2^32) can never carry into lane 1. The earlier
+# 4x16 packing put weight 2^48 on the top lane and crashed (ANSI
+# ARITHMETIC_OVERFLOW) at ~32k same-bit tokens per doc.
+_SWAR_LANES = 2
+_SWAR_WIDTH = 32
 
 
 def simhash_packed_aggs(n_bits: int = SIMHASH_BITS) -> list[Column]:
-    n_sums = n_bits // _SWAR_LANES  # 15 packed sums for 60 bits
+    n_sums = n_bits // _SWAR_LANES  # 30 packed sums for 60 bits
     out = []
     h = F.col("token_hash")
     for s in range(n_sums):

@@ -181,8 +181,9 @@ def simhash_fingerprints(
     """Per-document SimHash fingerprint via exploded token votes.
 
     The explode -> groupBy(id) shape partial-aggregates SWAR-packed bit
-    counters map-side (15 packed sums instead of 60 conditional sums for
-    the 60-bit fingerprint — functions/hashing.py); the DuckDB oracle uses
+    counters map-side (30 packed sums instead of 60 conditional sums for
+    the 60-bit fingerprint, overflow-proof for any Spark-representable
+    document — functions/hashing.py); the DuckDB oracle uses
     the independent per-bit balance formulation, so the packing is
     cross-checked bit-for-bit."""
     from schema_inference_spark.functions.hashing import (

@@ -119,6 +119,43 @@ def test_embedding_near_dup_pairs(emb_df):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(5, 500)}
 
 
+def test_simhash_packed_no_overflow_on_huge_doc(spark):
+    """ADVICE r2: the 4x16 SWAR packing crashed (ANSI ARITHMETIC_OVERFLOW)
+    at ~32k same-bit tokens per doc. The 2x32 packing is overflow-proof for
+    any Spark-representable document; verify bit-exactness against the
+    independent per-bit balance formulation on a 40k-token doc (past the
+    old crash threshold)."""
+    from schema_inference_spark.functions.hashing import (
+        md5_long_expr,
+        simhash_bit_balance_aggs,
+        simhash_from_balances,
+    )
+
+    rows = [
+        ("big", " ".join(["boilerplate"] * 40_000)),
+        ("mixed", " ".join(["alpha", "beta"] * 20_000)),
+        ("small", "alpha beta gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    packed = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(df, "doc_id", "text").collect()
+    }
+    tokens = df.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    balances = tokens.select(
+        "doc_id", md5_long_expr(F.col("token")).alias("token_hash")
+    ).groupBy("doc_id").agg(*simhash_bit_balance_aggs())
+    unpacked = {
+        r["doc_id"]: r["simhash"]
+        for r in balances.select(
+            "doc_id", simhash_from_balances().alias("simhash")
+        ).collect()
+    }
+    assert packed == unpacked
+
+
 def test_simhash_pigeonhole_recall_across_blocks(spark):
     """ADVICE r1: pairs whose differing bits span MULTIPLE blocks must still
     be found — pigeonhole (max_hamming+1 blocks) guarantees one agreeing
