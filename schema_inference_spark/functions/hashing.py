@@ -46,6 +46,26 @@ def shingles_expr(col: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def exploded_shingles(df, id_col: str, text: Column, k: int = 3):
+    """(id_col, shingle) rows — the whole-stage-codegen shingle path.
+
+    ``explode(sequence)`` generates shingle start indices and
+    ``array_join(slice(...))`` builds each shingle: every expression is
+    codegen'd, unlike :func:`shingles_expr`, whose ``F.transform`` lambda
+    Spark 4.1.2 evaluates interpreted per row (the repo's measured 20x
+    lesson). Docs with fewer than k words produce no rows. This is the form
+    every corpus-wide operator must use; ``shingles_expr`` remains only as
+    the per-row Column API mirrored by the DuckDB oracle SQL.
+    """
+    words = F.split(text, " ")
+    base = df.select(id_col, words.alias("_w")).where(F.size("_w") >= k)
+    return base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.size("_w") - (k - 1))).alias("_i"),
+        F.col("_w"),
+    ).select(id_col, F.array_join(F.slice(F.col("_w"), F.col("_i"), k), " ").alias("shingle"))
+
+
 def shingles_sql(expr: str, k: int = 3) -> str:
     words = f"string_split({expr}, ' ')"
     return (

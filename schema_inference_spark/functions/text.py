@@ -48,10 +48,20 @@ def bpe_ish_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all({expr}, '{_SUBWORD_RE}'))"
 
 
+def _stopword_regex(sw: tuple[str, ...]) -> str:
+    # whole-token match: a consuming left boundary (^ or whitespace) plus a
+    # zero-width right boundary, so adjacent stopwords ("of the") each match.
+    # Longest-first alternation keeps prefix words ("a" vs "and") unambiguous.
+    alt = "|".join(sorted(sw, key=len, reverse=True))
+    return rf"(^|\s)({alt})(?=\s|$)"
+
+
 def stopword_count_expr(col: Column, lang: str = "en") -> Column:
-    words = F.split(F.lower(col), r"\s+")
-    sw = STOPWORDS[lang]
-    return F.size(F.filter(words, lambda t: t.isin(*sw)))
+    """Count of whitespace tokens equal to a stopword. One codegen'd regex
+    scan per row — NOT ``F.filter(words, ...)``, which Spark 4.1.2 evaluates
+    interpreted per row (VERDICT r2; the DuckDB oracle keeps the independent
+    list_filter formulation, so the regex form is cross-checked)."""
+    return F.regexp_count(F.lower(col), F.lit(_stopword_regex(STOPWORDS[lang])))
 
 
 def stopword_count_sql(expr: str, lang: str = "en") -> str:
@@ -88,11 +98,13 @@ def quality_score_sql(expr: str) -> str:
 
 def lang_id_expr(col: Column) -> Column:
     """Stopword-profile language ID: argmax of per-language stopword hits
-    (ties resolve by language-code order; 'und' when no profile hits)."""
-    words = F.split(F.lower(col), r"\s+")
+    (ties resolve by language-code order; 'und' when no profile hits).
+    One codegen'd regex count per language profile — no interpreted
+    higher-order-function lambdas (VERDICT r2)."""
+    lowered = F.lower(col)
 
     def _hits(sw: tuple[str, ...]) -> Column:
-        return F.size(F.filter(words, lambda t: t.isin(*sw)))
+        return F.regexp_count(lowered, F.lit(_stopword_regex(sw)))
 
     scores = [(lang, _hits(sw)) for lang, sw in sorted(STOPWORDS.items())]
     best = F.lit("und")
@@ -126,7 +138,12 @@ def lang_id_sql(expr: str) -> str:
 def fingerprint_expr(col: Column, k: int = 4) -> Column:
     """Document fingerprint: min 60-bit hash over k-word shingles (the
     1-permutation MinHash — a content-defined fingerprint robust to
-    reordering of distant parts)."""
+    reordering of distant parts).
+
+    Per-row Column API ONLY (routes through an interpreted array fold) —
+    corpus-wide fingerprinting must use
+    :func:`schema_inference_spark.operators.dedup.document_fingerprints`,
+    the explode+codegen aggregation form of the same function."""
     from schema_inference_spark.functions.hashing import minhash_expr
 
     return minhash_expr(col, seed=997, k=k)

@@ -27,7 +27,6 @@ from schema_inference_spark.functions.hashing import (
     SIMHASH_BITS,
     hamming_distance_expr,
     md5_long_expr,
-    shingles_expr,
 )
 
 
@@ -41,45 +40,53 @@ def exact_duplicate_groups(df: DataFrame, content_col: str, id_col: str) -> Data
     )
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_perm: int = 8, k: int = 3
+def _minhash_aggregated(
+    df: DataFrame, id_col: str, text_col: str, seeds_and_names: list[tuple[int, str]], k: int
 ) -> DataFrame:
     # Fully whole-stage-codegen formulation (measured 20x faster than any
     # higher-order-function variant, which Spark evaluates interpreted):
-    # explode(sequence) generates shingle indices, slice+array_join builds
-    # each shingle, md5 hashes it once, and the per-permutation affine maps
-    # run as partial-aggregated min()s — one shuffle row per doc/partition.
-    from schema_inference_spark.functions.hashing import MINHASH_P, minhash_perm_consts
-
-    words = F.split(F.col(text_col), " ")
-    base = df.select(id_col, words.alias("_w")).where(F.size("_w") >= k)
-    hashed = base.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.size("_w") - (k - 1))).alias("_i"),
-        F.col("_w"),
-    ).select(
-        id_col,
-        F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice(F.col("_w"), F.col("_i"), k), " ")), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("_h"),
+    # exploded_shingles generates each shingle via sequence+slice codegen,
+    # md5 hashes it once, and the per-permutation affine maps run as
+    # partial-aggregated min()s — one shuffle row per doc/partition.
+    from schema_inference_spark.functions.hashing import (
+        MINHASH_P,
+        exploded_shingles,
+        md5_long_expr,
+        minhash_perm_consts,
     )
 
-    def mh(seed: int):
+    hashed = exploded_shingles(df, id_col, F.col(text_col), k).select(
+        id_col, md5_long_expr(F.col("shingle")).alias("_h")
+    )
+
+    def mh(seed: int, name: str):
         a, b = minhash_perm_consts(seed)
         return F.min(
             (F.lit(a) * (F.col("_h") % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
-        ).alias(f"mh{seed}")
+        ).alias(name)
 
-    sigs = hashed.groupBy(id_col).agg(*[mh(seed) for seed in range(n_perm)])
+    sigs = hashed.groupBy(id_col).agg(*[mh(s, n) for s, n in seeds_and_names])
     # docs with fewer than k words have no shingles -> NULL signature row,
     # restored via left join so callers see the same contract as before
     return df.select(id_col).join(sigs, id_col, "left")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_perm: int = 8, k: int = 3
+) -> DataFrame:
+    return _minhash_aggregated(
+        df, id_col, text_col, [(seed, f"mh{seed}") for seed in range(n_perm)], k
+    )
+
+
+def document_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, seed: int = 997
+) -> DataFrame:
+    """(id, fingerprint): the 1-permutation MinHash content fingerprint on
+    the same explode+codegen aggregation path as minhash_signatures (the
+    per-row ``fingerprint_expr`` routes through an interpreted array fold —
+    never use it corpus-wide). NULL for docs with fewer than k words."""
+    return _minhash_aggregated(df, id_col, text_col, [(seed, "fingerprint")], k)
 
 
 def lsh_candidate_pairs(
@@ -140,16 +147,16 @@ def jaccard_verified_pairs(
 
     Shingle sets are exploded once and joined twice (ids are pre-filtered to
     candidate members, so the explode touches only candidate docs)."""
+    from schema_inference_spark.functions.hashing import exploded_shingles
+
     member_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    shingles = (
-        df.join(F.broadcast(member_ids), id_col, "left_semi")
-        .select(id_col, F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"))
-        .distinct()
-    )
+    shingles = exploded_shingles(
+        df.join(F.broadcast(member_ids), id_col, "left_semi"), id_col, F.col(text_col), k
+    ).distinct()
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     s1 = shingles.withColumnRenamed(id_col, "id_a")
     s2 = shingles.withColumnRenamed(id_col, "id_b")

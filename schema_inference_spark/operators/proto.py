@@ -10,7 +10,7 @@ tables and whole-file concatenations). Semantics preserved:
 * nested objects -> sub-messages, arrays -> ``repeated`` fields (arrays of
   objects -> repeated sub-messages), matching the SUB-PROTO/SUB-ARRAY-PROTO
   markers (Constants.java:61-62);
-* per-file assembly is ORDER-SAFE: ``array_join(array_sort(collect_list(
+* per-file assembly is ORDER-SAFE: ``array_join(sort_array(collect_list(
   struct(line_number, line))))`` — the reference relied on a non-commutative
   ``reduceByKey`` after ``coalesce(1).sortByKey()``
   (TransformProtoIntoSparkDataset.java:87-119), which this rewrite replaces
@@ -122,12 +122,12 @@ def proto_lines_df(spark: SparkSession, hierarchy: dict[str, dict[str, str]]) ->
 def concat_proto_files(lines: DataFrame) -> DataFrame:
     """One row per proto file with the full text — order-safe at any
     partitioning (reference A6 rewritten without coalesce(1))."""
+    # sort_array (SortArray, no comparator lambda — array_sort desugars to
+    # an interpreted lambdafunction comparator) + GetArrayStructFields
+    # (.getField) keep the whole assembly codegen'd.
     return lines.groupBy("file_name").agg(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_number", "line"))),
-                lambda s: s["line"],
-            ),
+            F.sort_array(F.collect_list(F.struct("line_number", "line"))).getField("line"),
             "\n",
         ).alias("content")
     )

@@ -224,20 +224,22 @@ def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     50th doc (stands in for an external eval suite).
 
     Scale shape: benchmark shingle hashes are tiny (eval suites are small)
-    -> broadcast; the training side is ONE explode + semi join, no
-    all-pairs anything. Output: contaminated doc ids + how many distinct
-    benchmark 5-grams they share."""
-    from schema_inference_spark.functions.hashing import md5_long_expr, shingles_expr
+    -> broadcast; the training side is ONE codegen explode + semi join, no
+    all-pairs anything and no interpreted higher-order functions (the
+    shingle build uses the sequence+slice form, VERDICT r2). Output:
+    contaminated doc ids + how many distinct benchmark 5-grams they share."""
+    from schema_inference_spark.functions.hashing import exploded_shingles, md5_long_expr
 
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 50 == 0)
     train = docs.where(F.col("doc_id") % 50 != 0)
 
     def grams(df):
-        return df.select(
-            "doc_id",
-            F.explode(shingles_expr(F.lower(F.col("text")), k=5)).alias("gram"),
-        ).select("doc_id", md5_long_expr(F.col("gram")).alias("gram_hash")).distinct()
+        return (
+            exploded_shingles(df, "doc_id", F.lower(F.col("text")), k=5)
+            .select("doc_id", md5_long_expr(F.col("shingle")).alias("gram_hash"))
+            .distinct()
+        )
 
     bench_grams = grams(bench).select("gram_hash").distinct()
     return (

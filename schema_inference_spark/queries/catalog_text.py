@@ -99,10 +99,10 @@ FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_inference_spark.operators.dedup import document_fingerprints
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", TX.fingerprint_expr(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+    return document_fingerprints(docs, "doc_id", "text", k=4, seed=997).orderBy("doc_id")
 
 
 FINGERPRINT_SQL = f"""

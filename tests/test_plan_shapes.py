@@ -149,6 +149,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_captions_b")
 
 
+def test_no_interpreted_hof_anywhere_in_registry(spark, sf_dir):
+    """VERDICT r2 #1: Spark 4.1.2 evaluates higher-order-function lambdas
+    (transform/filter/aggregate) interpreted, row-at-a-time — the measured
+    20x tax. EVERY catalog query (driver registry + the strict-harness
+    extras) must plan without a single lambdafunction expression."""
+    from schema_inference_spark.queries import registry
+    from schema_inference_spark.queries.catalog_extra import extra_specs
+
+    specs = {**registry(), **{s.name: s for s in extra_specs()}}
+    offenders = []
+    for name, spec in specs.items():
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        if "lambdafunction" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
+
+
 def test_cosine_plan_has_no_interpreted_hof(spark, sf_dir):
     """The r2 kernel rewrite: ANN cosine must be an ArrowEvalPython
     projection, with no higher-order-function expressions (Spark 4.1.2
