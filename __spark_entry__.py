@@ -29,4 +29,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The image-suite oracles read datagen side tables from /tmp; make sure
+    # they exist even if the driver runs the SQL before the Spark query
+    # (memoized — free after the first call).
+    from schema_inference_spark.datagen.images import write_image_oracle_tables
+
+    write_image_oracle_tables()
     return {name: spec.sql for name, spec in registry().items() if spec.sql is not None}

@@ -7,7 +7,8 @@ Prints ONE JSON line:
 
 Env knobs:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    local[] parallelism (default 8 = measured-best here)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32 = measured-best for
+                      this suite; the 400k scale bench prefers 8)
   BENCH_IMAGES        override synthetic image count (default 500000*sf)
 
 The image corpus is generated deterministically once per size and cached as
@@ -127,7 +128,10 @@ def main() -> None:
         ]
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", extra_conf=extra)
 
+    from schema_inference_spark.queries.catalog_extra import extra_specs
+
     specs = registry()
+    specs.update({s.name: s for s in extra_specs()})  # bench names off-registry too
     timings: dict[str, float] = {}
 
     # warmup: open every input once (file listing + scan JIT), so timings

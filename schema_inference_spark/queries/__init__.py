@@ -54,17 +54,12 @@ def registry() -> dict[str, QuerySpec]:
             specs[spec.name] = spec
     with_oracle = {n: s for n, s in specs.items() if s.sql is not None}
     rows_only = {n: s for n, s in specs.items() if s.sql is None}
-    # rows-only priority: flagship image-suite entries first; the tail
-    # (HLL profile has a plan test, merge/proto have dedicated pytests) is
-    # what a 50-entry cap may drop.
-    priority = (
-        "images_validation_verdicts",
-        "images_violations_summary",
-        "images_profile",
-        "lineitem_profile_hll",
-        "merged_event_schema",
-        "proto_files",
-    )
-    ordered_rows_only = {n: rows_only[n] for n in priority if n in rows_only}
-    ordered_rows_only.update(rows_only)
-    return {**with_oracle, **ordered_rows_only}
+    # Round 3 sized the registry to EXACTLY 50 so every entry gets a driver
+    # CORRECTNESS row: the image suite gained a real DuckDB oracle (datagen
+    # side tables), the A8 schema merge folded into proto_files, and the
+    # chain-intermediate doc_minhash_signatures moved to catalog_extra
+    # (still strict-swept in pytest; its path is exercised end-to-end by
+    # doc_lsh_candidates -> doc_verified_near_dups and doc_fingerprints).
+    out = {**with_oracle, **rows_only}
+    assert len(out) <= 50, f"driver evaluates only 50 entries; {len(out)} registered"
+    return out

@@ -309,7 +309,15 @@ def _chunks_sql() -> str:
 
 
 def extra_specs() -> list[QuerySpec]:
+    from schema_inference_spark.queries.catalog_text import (
+        MINHASH_SQL,
+        doc_minhash_signatures,
+    )
+
     return [
+        QuerySpec("doc_minhash_signatures", doc_minhash_signatures, MINHASH_SQL,
+                  "MinHash signatures (driver slot freed r3; chain-covered by "
+                  "doc_lsh_candidates/doc_verified_near_dups)"),
         QuerySpec("doc_split_counts", doc_split_counts, _split_sql(),
                   "deterministic train/val/test split"),
         QuerySpec("doc_hash_sample", doc_hash_sample, SAMPLE_SQL,

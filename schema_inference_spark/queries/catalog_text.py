@@ -287,7 +287,9 @@ SPECS = [
     QuerySpec("doc_lang_id", doc_lang_id, LANG_ID_SQL, "language-ID heuristic"),
     QuerySpec("doc_exact_dups", doc_exact_dups, EXACT_DUPS_SQL, "exact dedup"),
     QuerySpec("doc_fingerprints", doc_fingerprints, FINGERPRINT_SQL, "doc fingerprinting"),
-    QuerySpec("doc_minhash_signatures", doc_minhash_signatures, MINHASH_SQL, "MinHash"),
+    # doc_minhash_signatures lives in catalog_extra since round 3: it is the
+    # chain intermediate of doc_lsh_candidates/doc_verified_near_dups (both
+    # here), and the driver registry is capped at 50 entries.
     QuerySpec("doc_lsh_candidates", doc_lsh_candidates, LSH_CAND_SQL, "MinHash-LSH pairs"),
     QuerySpec("doc_simhash", doc_simhash, SIMHASH_Q_SQL, "SimHash fingerprints"),
     QuerySpec("doc_simhash_near_pairs", doc_simhash_near_pairs, SIMHASH_PAIRS_SQL,

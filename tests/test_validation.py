@@ -47,6 +47,24 @@ def test_all_checks_match_oracle(result):
         assert got[check] == corpus.expected[check], f"{check}: mismatch"
 
 
+def test_violation_rows_match_simulation(result):
+    """ROW-level parity (r3): the engine's violation table equals the
+    plain-pandas simulation as a MULTISET of (part, check_name, image_id) —
+    multiplicity and part attribution included, not just distinct ids.
+    This is the same simulation the driver's DuckDB oracle consumes for the
+    pixel_* checks, so it is pinned against the engine independently here."""
+    from schema_inference_spark.datagen.images import simulate_violation_rows
+
+    corpus, _res, violations = result
+    expected = simulate_violation_rows(corpus.images, corpus.captions)
+    got = sorted(
+        (r["part"], r["check_name"], r["image_id"])
+        for r in violations.select("part", "check_name", "image_id").collect()
+    )
+    want = sorted(map(tuple, expected.itertuples(index=False)))
+    assert got == want
+
+
 def test_verdict_grid_consistency(result):
     corpus, res, violations = result
     verdicts = res.verdicts.collect()
