@@ -122,11 +122,15 @@ def pack_documents(
 ) -> DataFrame:
     """(id, n_tokens, bin_id, truncated) — every doc assigned to a bin whose
     total token count is <= max_tokens (except single oversized docs)."""
+    # keep the caller's id type verbatim: a plain cast('long') on a string
+    # doc_id would throw CAST_INVALID_INPUT under ANSI (ADVICE r2); the id
+    # only rides along and string ids sort/partition fine
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, {token_col} long, bin_id long, truncated boolean"
+        f"{id_col} {id_type}, {token_col} long, bin_id long, truncated boolean"
     )
     narrow = df.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col),
         F.col(token_col).cast("long").alias(token_col),
     )
     if n_partitions is not None:

@@ -16,10 +16,13 @@ unbounded aggregation state at all:
   2. ranked window ``row_number() over (partition by key order by value)``
      filtered to ``rn <= k`` — Spark's window operator sort-spills to disk,
      so even a key with millions of distinct values is memory-safe;
-  3. ``collect_list`` over at most k rows per key — bounded by construction.
+  3. one final ``groupBy(key)`` whose ``collect_list`` stores only the rows
+     the rank filter marked (nulls are skipped) — state bounded at k per
+     key, and NULL keys / NULL exemplar values keep their groups (no join
+     on the key, which would drop null==null).
 
-Output is deterministic (the globally smallest k distinct values) under any
-partitioning.
+Output is deterministic (the globally smallest k distinct non-null values)
+under any partitioning.
 """
 
 from __future__ import annotations
@@ -41,10 +44,13 @@ def salted_exemplars(
     del n_salts
     base = df.select(key, F.col(exemplar_col).alias("_ex"))
     per_value = base.groupBy(key, "_ex").agg(F.count(F.lit(1)).alias("_n"))
-    w = Window.partitionBy(key).orderBy("_ex")
-    topk = per_value.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
-    counts = per_value.groupBy(key).agg(F.sum("_n").alias("n_rows"))
-    exemplars = topk.groupBy(key).agg(
-        F.sort_array(F.collect_list("_ex")).alias("exemplars")
+    # nulls_last so null exemplar values never consume top-k slots; ONE final
+    # groupBy (not counts-join-exemplars) so a NULL key keeps its group —
+    # null==null is not a join match (ADVICE r2)
+    w = Window.partitionBy(key).orderBy(F.asc_nulls_last("_ex"))
+    ranked = per_value.withColumn("_rn", F.row_number().over(w))
+    keep = F.when((F.col("_rn") <= k) & F.col("_ex").isNotNull(), F.col("_ex"))
+    return ranked.groupBy(key).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sort_array(F.collect_list(keep)).alias("exemplars"),  # collect_list skips nulls
     )
-    return counts.join(exemplars, key)

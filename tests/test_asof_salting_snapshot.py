@@ -46,6 +46,23 @@ def test_salted_exemplars_hot_key(spark):
     assert out[1]["n_rows"] == 3 and len(out[1]["exemplars"]) == 3
 
 
+def test_salted_exemplars_null_key_and_null_values(spark):
+    """ADVICE r2: the NULL-key group must survive (no key equi-join), and
+    null exemplar values must neither consume top-k slots nor appear in the
+    output — but they DO count toward n_rows."""
+    rows = (
+        [(None, f"n{i}") for i in range(4)]        # null key, real values
+        + [(7, None)] * 5                          # nulls would fill k slots
+        + [(7, "b"), (7, "a"), (7, "c"), (7, "d")]
+        + [(8, None), (8, None)]                   # group with ONLY null values
+    )
+    df = spark.createDataFrame(rows, "key int, val string")
+    out = {r["key"]: r for r in salted_exemplars(df, "key", "val", k=3).collect()}
+    assert out[None]["n_rows"] == 4 and out[None]["exemplars"] == ["n0", "n1", "n2"]
+    assert out[7]["n_rows"] == 9 and out[7]["exemplars"] == ["a", "b", "c"]
+    assert out[8]["n_rows"] == 2 and out[8]["exemplars"] == []
+
+
 def test_snapshot_upsert_lifecycle(spark):
     p1 = spark.createDataFrame([(0, 10), (1, 20)], "part int, n_rows long")
     p2 = spark.createDataFrame([(1, 25), (2, 30)], "part int, n_rows long")

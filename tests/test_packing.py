@@ -68,6 +68,18 @@ def test_packing_is_deterministic_and_dense(spark, sf_dir):
     assert stats["n_bins"] <= 1.3 * lower_bound_bins + 4  # near-optimal bin count
 
 
+def test_packing_keeps_string_ids(spark):
+    """ADVICE r2: a non-numeric string doc_id must pack fine under ANSI
+    (the old cast('long') threw CAST_INVALID_INPUT) and come back verbatim."""
+    df = spark.createDataFrame(
+        [("doc-a", 100), ("doc-b", 300), ("doc-c", 450)], "doc_id string, n_tokens int"
+    )
+    rows = pack_documents(df, max_tokens=512, n_partitions=2).collect()
+    assert {r["doc_id"] for r in rows} == {"doc-a", "doc-b", "doc-c"}
+    assert all(isinstance(r["doc_id"], str) for r in rows)
+    assert not any(r["truncated"] for r in rows)
+
+
 def test_chunking_reconstructs_documents(spark):
     """Invariant: stripping the overlap from every chunk after the first and
     concatenating reconstructs the original token sequence exactly — no
