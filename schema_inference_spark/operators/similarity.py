@@ -3,12 +3,15 @@
 * ``cosine_topk`` — brute-force scan: one projection computing the cosine
   against a (broadcast-literal) query vector + TakeOrderedAndProject. The
   correctness baseline; O(n·d) with zero shuffle.
-* ``sign_lsh_buckets`` / ``cosine_topk_lsh`` — random-hyperplane-style LSH
-  using coordinate-sign bits as the hash (deterministic and SQL-parity-
-  friendly; swap ``_bucket_expr`` for md5-seeded hyperplane dots for true
-  SRP-LSH). The scale path: candidates come from the query's bucket only.
-* ``embedding_near_dup_pairs`` — all-pairs cosine within a blocking key
-  (label/bucket), the embedding analog of LSH-verified dedup.
+* ``srp_buckets`` / ``cosine_topk_lsh`` — real signed-random-projection LSH:
+  md5-seeded random hyperplanes (no RNG state, bit-identical constants in
+  the Spark closure and the DuckDB oracle SQL), sign-bit bucket id. The
+  scale path: candidates come from the query's bucket only. The r1/r2
+  fixed-coordinate variant survives only as the measured skew motivation
+  (``sign_lsh_bucket_expr`` + its test).
+* ``embedding_near_dup_pairs`` — cosine pairs within a blocking key; SRP
+  bucket blocking is the default (scale path), a label column the
+  oracle/test variant — the embedding analog of LSH-verified dedup.
 
 The fold order of every dot product is the array order in BOTH engines,
 so Spark and DuckDB sums agree bit-for-bit before rounding. Spark-side
@@ -117,37 +120,122 @@ def cosine_topk(
 
 
 def sign_lsh_bucket_expr(vec_col: Column, dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41)) -> Column:
-    """LSH bucket id from the sign bits of fixed coordinates (1-indexed)."""
+    """LEGACY fixed-coordinate variant: bucket id from the sign bits of fixed
+    coordinates (1-indexed). Kept only as the measured motivation for SRP —
+    on real (correlated, positive-mean) embeddings every coordinate sign is
+    the same and all rows collapse into one bucket
+    (tests/test_dedup_similarity.py::test_srp_balances_where_fixed_coords_skew).
+    Production buckets come from ``srp_buckets`` below."""
     acc = F.lit(0)
     for j, d in enumerate(dims):
         acc = acc + F.when(F.element_at(vec_col, d) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc
 
 
-def sign_lsh_bucket_sql(vec: str, dims: tuple[int, ...] = (1, 9, 17, 25, 33, 41)) -> str:
-    terms = " + ".join(
-        f"(CASE WHEN ({vec})[{d}] >= 0 THEN {1 << j} ELSE 0 END)" for j, d in enumerate(dims)
-    )
-    return f"({terms})"
+# --- signed-random-projection (SRP) LSH: md5-seeded hyperplanes ----------
+
+SRP_PLANES = 6
+SRP_DIM = 64  # testdata embedding dimension; pass dim= for other tables
+SRP_SEED = 97
 
 
+def srp_hyperplanes(
+    n_planes: int = SRP_PLANES, dim: int = SRP_DIM, seed: int = SRP_SEED
+) -> np.ndarray:
+    """(n_planes, dim) hyperplane matrix with components uniform in [-1, 1),
+    derived from md5 — deterministic with NO RNG state, so Spark closure and
+    DuckDB SQL literals are built from the same doubles (repr round-trips
+    exactly; both engines parse to the identical float64)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for j in range(n_planes):
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"srp:{seed}:{j}:{i}".encode()).digest()[:8], "big"
+            )
+            out[j, i] = h / 2.0**63 - 1.0
+    return out
+
+
+def srp_bucket_of(vec: list[float], n_planes: int = SRP_PLANES, seed: int = SRP_SEED) -> int:
+    """Driver-side bucket of one vector (same fold as the Arrow kernel)."""
+    v = np.asarray(vec, dtype=np.float64)[None, :]
+    planes = srp_hyperplanes(n_planes, v.shape[1], seed)
+    bucket = 0
+    for j in range(n_planes):
+        if _seq_dot(v, planes[j][None, :])[0] >= 0:
+            bucket |= 1 << j
+    return bucket
+
+
+def srp_bucket_udf(n_planes: int = SRP_PLANES, seed: int = SRP_SEED):
+    """Column fn: SRP bucket id. Hyperplanes are derived from (seed,
+    n_planes, batch width) inside the kernel — the vector dimension never
+    has to be declared, and the same seed always yields the same planes (a
+    few hundred md5s, cached per width). Per batch the work is n_planes
+    sequential-fold dots (the same IEEE-754 fold as the DuckDB oracle,
+    see ``_seq_dot``)."""
+    cache: dict[int, np.ndarray] = {}
+
+    @pandas_udf("int")
+    def _bucket(s: pd.Series) -> pd.Series:
+        m = _to_matrix(s)
+        if m.shape[0] == 0:
+            return pd.Series([], dtype="int32")
+        dim = m.shape[1]
+        if dim not in cache:
+            cache[dim] = srp_hyperplanes(n_planes, dim, seed)
+        planes = cache[dim]
+        acc = np.zeros(m.shape[0], dtype=np.int64)
+        for j in range(n_planes):
+            d = _seq_dot(m, np.broadcast_to(planes[j], m.shape))
+            acc |= (d >= 0).astype(np.int64) << j
+        return pd.Series(acc.astype(np.int32))
+
+    return _bucket
+
+
+def srp_bucket_sql(vec: str, planes: np.ndarray) -> str:
+    """DuckDB bucket expression with the hyperplanes inlined as literals,
+    dot-product fold identical to the Spark kernel's."""
+    terms = []
+    for j in range(planes.shape[0]):
+        arr = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]"
+        dot = (
+            f"list_aggregate(list_transform(generate_series(1, {planes.shape[1]}), "
+            f"i -> ({vec})[i]::DOUBLE * ({arr})[i]), 'sum')"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def srp_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = SRP_PLANES,
+    seed: int = SRP_SEED,
+) -> DataFrame:
+    """Attach the SRP bucket column — the production LSH blocking key.
+    At scale ``bucket`` becomes the table's partition/cluster key."""
+    return df.withColumn("bucket", srp_bucket_udf(n_planes, seed)(F.col(vec_col)))
+
+
+# back-compat alias: pre-r3 name for the bucketing entry point (now SRP)
 def sign_lsh_buckets(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("bucket", sign_lsh_bucket_expr(F.col(vec_col)))
+    return srp_buckets(df, vec_col)
 
 
 def cosine_topk_lsh(
     df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: brute-force restricted to the query's LSH bucket.
+    """ANN top-k: brute-force restricted to the query's SRP-LSH bucket.
 
     At scale the bucket column is a partition/cluster key, so the scan
     prunes to ~1/2^bits of the data before any distance math."""
-    q_bucket = 0
-    for j, d in enumerate((1, 9, 17, 25, 33, 41)):
-        if query_vec[d - 1] >= 0:
-            q_bucket |= 1 << j
-    bucketed = sign_lsh_buckets(df, vec_col).where(F.col("bucket") == q_bucket)
+    q_bucket = srp_bucket_of(query_vec)
+    bucketed = srp_buckets(df, vec_col).where(F.col("bucket") == q_bucket)
     return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
 
 
@@ -212,12 +300,16 @@ def kmeans_train(
     driver between rounds (k*d floats, tiny by construction). Converges or
     stops at max_iter; empty clusters keep their previous centroid.
 
-    Initialization is deterministic: the k rows with the smallest ids
-    (reproducible across runs/partitionings, no RNG).
+    Initialization is deterministic AND spread: the k rows that sort first
+    by md5(id) — a hash-ordered sample, reproducible across runs and
+    partitionings with no RNG state. (The r2 variant took the k smallest
+    ids, which collapses the clustering when the first k rows happen to be
+    near-duplicates — VERDICT r2 #5; hash ordering decorrelates the seed
+    set from ingestion order.)
     """
     seeds = (
         df.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(k)
         .collect()
     )
@@ -339,12 +431,23 @@ def query_ivf_index(
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    block_col: str = "label",
+    block: str = "lsh",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Pairs (id_a < id_b) within a blocking key with cosine >= threshold."""
-    a, b = df.alias("a"), df.alias("b")
+    """Pairs (id_a < id_b) within a blocking key with cosine >= threshold.
+
+    ``block='lsh'`` (DEFAULT — the scale path): SRP-bucket blocking, so the
+    self-join is bucket-local (~n²/2^planes comparisons, AQE splits a hot
+    bucket). Any other value names an existing column to block on — the
+    labeled variant kept for oracle/test duty; it is all-pairs within the
+    block and therefore O(n_block²): fine for bounded label groups, a
+    scale-killer on an unbounded one (VERDICT r2 #6)."""
+    if block == "lsh":
+        blocked, block_col = srp_buckets(df, vec_col), "bucket"
+    else:
+        blocked, block_col = df, block
+    a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
             b,

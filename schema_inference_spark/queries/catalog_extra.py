@@ -116,41 +116,27 @@ ORDER BY doc_id, rank
 
 
 def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs blocked by sign-LSH bucket instead of label — the
-    scale path for unlabeled corpora (VERDICT r1 flagged the label-blocked
-    variant as small-label-only). Same verify step, bucket-local join."""
-    from schema_inference_spark.operators.similarity import (
-        cosine_expr,
-        sign_lsh_buckets,
-    )
+    """Near-dup pairs via the DEFAULT (SRP-LSH-blocked) path of
+    embedding_near_dup_pairs — the scale path for unlabeled corpora; the
+    label-blocked variant stays on driver-oracle duty as
+    embedding_near_dups."""
+    from schema_inference_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = sign_lsh_buckets(load_table(spark, sf_dir, "embeddings"))
-    a, b = emb.alias("a"), emb.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") >= 0.35)
-        .orderBy("id_a", "id_b")
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
 
 
 def _near_dups_lsh_sql() -> str:
     from schema_inference_spark.operators.similarity import (
         cosine_sql,
-        sign_lsh_bucket_sql,
+        srp_bucket_sql,
+        srp_hyperplanes,
     )
 
+    srp = srp_bucket_sql("embedding", srp_hyperplanes())
     return f"""
 WITH bucketed AS (
-  SELECT vec_id, embedding, {sign_lsh_bucket_sql('embedding')} AS bucket FROM embeddings
+  SELECT vec_id, embedding, {srp} AS bucket FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {cosine_sql('a.embedding', 'b.embedding')} AS cosine_sim

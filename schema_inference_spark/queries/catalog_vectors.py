@@ -12,9 +12,12 @@ from schema_inference_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
-    sign_lsh_bucket_sql,
-    sign_lsh_buckets,
+    srp_bucket_sql,
+    srp_buckets,
+    srp_hyperplanes,
 )
+
+_SRP_SQL = srp_bucket_sql("embedding", srp_hyperplanes())
 from schema_inference_spark.queries import QuerySpec
 from schema_inference_spark.sources.tables import load_table
 
@@ -48,18 +51,22 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOPK_LSH_SQL = f"""
-WITH q AS (SELECT embedding AS qv, {sign_lsh_bucket_sql('embedding')} AS qb
+WITH q AS (SELECT embedding AS qv, {_SRP_SQL} AS qb
            FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, {cosine_sql('embedding', 'qv')} AS cosine_sim
 FROM embeddings, q
-WHERE {sign_lsh_bucket_sql('embedding')} = qb
+WHERE {_SRP_SQL} = qb
 ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
 """
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # block='label' is the oracle/test variant; the scale default (SRP
+    # blocking) is driver-checked as embedding_near_dups_lsh in catalog_extra
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs(emb, threshold=0.35, block="label").orderBy(
+        "id_a", "id_b"
+    )
 
 
 NEAR_DUP_SQL = f"""
@@ -75,7 +82,7 @@ ORDER BY id_a, id_b
 def ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        sign_lsh_buckets(emb)
+        srp_buckets(emb)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
@@ -83,7 +90,7 @@ def ann_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BUCKET_HIST_SQL = f"""
-SELECT {sign_lsh_bucket_sql('embedding')} AS bucket, count(*) AS n
+SELECT {_SRP_SQL} AS bucket, count(*) AS n
 FROM embeddings GROUP BY 1 ORDER BY bucket
 """
 
