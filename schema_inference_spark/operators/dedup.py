@@ -216,52 +216,75 @@ def duplicate_components(
     component = the smallest id in the cluster. This is the step that turns
     pairwise near-dups into dedup GROUPS (keep one row per component).
 
-    Iterative min-label propagation: each round every vertex takes the min
-    label among itself and its neighbors; converges in O(graph diameter)
-    rounds — near-dup clusters from LSH are dense (star-like), so real
-    diameters are tiny; a pathological pure chain is bounded by
-    ``max_iter`` (swap in large-star/small-star for O(log n) if such
-    graphs ever appear). Spark-idiomatic
-    iteration: a driver loop over DataFrames with localCheckpoint() per
-    round to cut lineage (no RDDs, no recursive SQL); each round is one
-    shuffle on id. ``max_iter`` bounds pathological chains; the loop exits
-    as soon as a fixpoint is reached (no label changed).
+    Two-phase star contraction (large-star / small-star, Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round is
+    two key-partial aggregations + joins, and the edge set converges in
+    O(log n) rounds regardless of graph shape — the r2 min-label
+    propagation needed O(diameter) rounds, so a pathological chain could
+    exhaust ``max_iter`` and SILENTLY split a component, quietly defeating
+    leakage_safe_split's contamination guarantee (ADVICE r2). Now
+    non-convergence RAISES instead. Spark-idiomatic iteration: a driver
+    loop over DataFrames with localCheckpoint() per round to cut lineage
+    (no RDDs, no recursive SQL).
     """
+    verts = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical undirected edges (lo < hi)
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias(id_col))
-        .distinct()
-        .withColumn("component", F.col(id_col))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == F.col(id_col))
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+        pairs.select(
+            F.least("id_a", "id_b").alias("lo"), F.greatest("id_a", "id_b").alias("hi")
         )
-        updated = (
-            labels.join(neighbor_min, labels[id_col] == neighbor_min.src, "left")
-            .select(
-                F.col(id_col),
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
-            )
-        ).localCheckpoint()
-        changed = updated.where(F.col("_changed")).limit(1).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
+        .where(F.col("lo") < F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = edges.limit(1).count() == 0
+    for _ in range(max_iter):
+        if converged:
             break
-    return labels
+        # LARGE-STAR: every node u connects its LARGER neighbors to
+        # m = min(neighborhood(u) + u)
+        sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least("u", "_mn").alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .where(F.col("lo") < F.col("hi"))
+            .distinct()
+        )
+        # SMALL-STAR: direct edges hi -> lo; every hub connects its smaller
+        # neighbors (and itself) to their min
+        smins = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        attach = (
+            ls.join(smins, "hi")
+            .select(F.col("m").alias("lo"), ls["lo"].alias("hi"))
+            .where(F.col("lo") < F.col("hi"))
+        )
+        root = smins.select(F.col("m").alias("lo"), "hi")
+        new_edges = attach.unionByName(root).distinct().localCheckpoint()
+        converged = (
+            new_edges.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(new_edges).limit(1).count() == 0
+        )
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} rounds "
+            "(star contraction needs ~log2(n) — raise max_iter); refusing to "
+            "return split components, which would leak near-dups across splits"
+        )
+    parents = edges.groupBy("hi").agg(F.min("lo").alias("component"))
+    return verts.join(
+        parents.withColumnRenamed("hi", id_col), id_col, "left"
+    ).select(id_col, F.coalesce("component", F.col(id_col)).alias("component"))
 
 
 def simhash_block_bounds(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:

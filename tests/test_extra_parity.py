@@ -48,6 +48,67 @@ def test_duplicate_components_planted_clusters(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_duplicate_components_long_chain_logn_rounds(spark):
+    """r3 star contraction: a 64-node pure chain (diameter 63) must converge
+    within max_iter=10 ~ log2(64)+c rounds — O(diameter) propagation would
+    raise here. Also covers ADVICE r2: non-convergence now raises instead of
+    silently returning split components (max_iter=1 must throw)."""
+    import pytest
+
+    from schema_inference_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a int, id_b int"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(pairs, "doc_id", max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, "doc_id", max_iter=1)
+
+
+def test_duplicate_components_match_union_find(spark):
+    """Cross-check against a plain-Python union-find on a deterministic
+    tangled graph (multi-component, cycles, shared hubs)."""
+    from schema_inference_spark.operators.dedup import duplicate_components
+
+    n = 200
+    raw = [(i, (i * i + 7) % n) for i in range(0, n, 3)] + [
+        (i, (i * 13 + 5) % n) for i in range(0, n, 7)
+    ]
+    edges = [(a, b) for a, b in raw if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    verts = {v for e in edges for v in e}
+    want = {v: find(v) for v in verts}
+    # normalize: component label = min member id
+    min_of = {}
+    for v, r in want.items():
+        min_of[r] = min(min_of.get(r, v), v)
+    want = {v: min_of[r] for v, r in want.items()}
+
+    pairs = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(pairs, "doc_id").collect()
+    }
+    assert got == want
+
+
 def test_duplicate_components_end_to_end_lsh(spark, sf_dir):
     """LSH candidate pairs -> components: every member of a component is
     reachable, and one keeper per component dedupes the corpus."""
