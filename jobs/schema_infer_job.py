@@ -84,8 +84,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     shaped = shaped.where(F.col("schema").isNotNull())  # P4 null-row filter
 
+    from schema_inference_spark.sources.iceberg import write_table
+
     counts = shape_counts(shaped, F.col("schema"))
-    counts.write.mode("overwrite").parquet(f"{args.output}/distinct")
+    write_table(counts, f"{args.output}/distinct", mode="overwrite")
 
     top = top_shapes(shaped, F.col("schema"), k=args.top_k).collect()
     if not top:
@@ -105,7 +107,7 @@ def main(argv: list[str] | None = None) -> int:
 
     hierarchy = with_metadata_message(proto_hierarchy(merged))
     protos = concat_proto_files(proto_lines_df(spark, hierarchy))
-    protos.write.mode("overwrite").parquet(f"{args.output}/protos")
+    write_table(protos, f"{args.output}/protos", mode="overwrite")
 
     n_shapes = len(top)
     print(f"schema-infer: {n_shapes} distinct shapes (top-{args.top_k}), "

@@ -82,16 +82,18 @@ def main(argv: list[str] | None = None) -> int:
     # Append, tagged by run_id: a resumed run carries only the remaining
     # partitions, so overwriting would destroy the prior runs' tables
     # (ADVICE r1). Consumers read the union and can filter by run_id.
+    from schema_inference_spark.sources.iceberg import write_table
+
     for name, df in (
         ("violations", res.violations),
         ("verdicts", res.verdicts),
         ("profile", res.profile),
     ):
-        writer = df.withColumn("run_id", F.lit(args.run_id)).write.mode("append")
-        if "part" in df.columns:
-            # partition-pruned reads for per-partition consumers/re-runs
-            writer = writer.partitionBy("part")
-        writer.parquet(f"{args.output}/{name}")
+        tagged = df.withColumn("run_id", F.lit(args.run_id))
+        # partition-pruned reads for per-partition consumers/re-runs
+        # (Iceberg: the results table's partition spec; parquet: partitionBy)
+        part = ("part",) if "part" in df.columns else None
+        write_table(tagged, f"{args.output}/{name}", mode="append", partition_by=part)
     if args.checkpoint:
         write_checkpoint(res.verdicts, args.checkpoint, args.run_id)
 

@@ -384,15 +384,18 @@ def build_ivf_index(
     n_probe/k of the data via parquet partition pruning — the layout that
     makes IVF an INDEX rather than a full-scan filter (asserted on the
     query plan in tests)."""
+    from schema_inference_spark.sources.iceberg import write_table
+
     spark = df.sparkSession
     centroids = kmeans_train(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assignments(df, centroids, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
-        f"{path}/vectors"
-    )
-    spark.createDataFrame(
+    # Iceberg analog: vectors table partitioned by centroid_id in the spec
+    write_table(assigned, f"{path}/vectors", mode="overwrite",
+                partition_by=("centroid_id",))
+    cents_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], "centroid_id int, centroid array<double>"
-    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    )
+    write_table(cents_df, f"{path}/centroids", mode="overwrite")
     return centroids
 
 

@@ -4,8 +4,9 @@ North-rule requirement: "resumable from an Iceberg checkpoint table
 carrying per-partition lineage + metrics ... re-runs skip validated
 partitions". The sandbox has no Iceberg jars, so the checkpoint is a
 parquet table with the identical relational contract (append-only rows
-keyed by (run_id, part)); swapping the writer for
-``df.writeTo(catalog.table).append()`` is the only Iceberg-specific line.
+keyed by (run_id, part)); the write routes through
+sources/iceberg.append_table, which becomes
+``df.writeTo(catalog.table).append()`` when the runtime is present.
 
 Resume is an ANTI JOIN of the input against completed partitions — the
 same pattern the reference hints at by re-reading its persisted profile
@@ -46,7 +47,9 @@ def write_checkpoint(
         .withColumn("run_id", F.lit(run_id))
         .withColumn("wall_sec", F.lit(float(wall_sec)))
     )
-    ckpt.write.mode("append").parquet(path)
+    from schema_inference_spark.sources.iceberg import append_table
+
+    append_table(ckpt, path)
     return ckpt
 
 

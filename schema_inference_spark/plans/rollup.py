@@ -10,8 +10,8 @@ rollups, re-expressed Spark-first):
 2. MERGE the delta aggregate into the stored rollup by adding counts/sums
    per bucket key — a full-outer union-agg keyed by bucket, touching only
    the stored buckets (tiny: hours x event types), never the raw history;
-3. rewrite via the same safe-tmp protocol as plans/snapshot.py (Iceberg
-   MERGE INTO in production).
+3. rewrite via sources/iceberg.replace_table (``createOrReplace`` on
+   Iceberg, the safe-tmp parquet protocol otherwise).
 
 Because count/sum are commutative monoids, refresh(delta1) then
 refresh(delta2) equals one refresh(delta1 ∪ delta2) equals a full
@@ -67,10 +67,9 @@ def refresh_hourly_rollup(
         )
     else:
         merged = delta
-    tmp = f"{path}.tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    from schema_inference_spark.sources.iceberg import replace_table
+
+    return replace_table(spark, merged, path)
 
 
 def read_rollup(spark: SparkSession, path: str) -> DataFrame:

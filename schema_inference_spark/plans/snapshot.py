@@ -1,10 +1,10 @@
-"""Reference-profile snapshot lifecycle: MERGE-style upsert without Delta.
+"""Reference-profile snapshot lifecycle: MERGE-style upsert.
 
 The drift baseline (FIXTURES.md §3) is a persisted profile table keyed by
-(snapshot_id, part). Without Delta/Iceberg MERGE INTO in this sandbox, the
-upsert is emulated the idiomatic Spark way (anti-join + union + rewrite):
-rows of the target whose key appears in the source are replaced, others
-kept. On Iceberg this function body becomes a single ``MERGE INTO``.
+(snapshot_id, part). The upsert is sources/iceberg.merge_upsert — a real
+``MERGE INTO`` when the Iceberg runtime is present, the idiomatic anti-join
++ union + safe-rewrite emulation otherwise. Snapshot time travel maps to
+the explicit snapshot_id column (SCALE.md §Iceberg).
 """
 
 from __future__ import annotations
@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from schema_inference_spark.sources.iceberg import merge_upsert
 
 
 def upsert_snapshot(
@@ -25,19 +27,7 @@ def upsert_snapshot(
     """Upsert ``new_profile`` (tagged with snapshot_id) into the snapshot
     table at ``path``; returns the resulting table."""
     tagged = new_profile.withColumn("snapshot_id", F.lit(snapshot_id))
-    if os.path.exists(path):
-        current = spark.read.parquet(path)
-        keys = tagged.select(*key_cols).distinct()
-        kept = current.join(F.broadcast(keys), list(key_cols), "left_anti")
-        merged = kept.unionByName(tagged, allowMissingColumns=True)
-    else:
-        merged = tagged
-    # rewrite via a temp dir: parquet cannot be overwritten in place while read
-    tmp = f"{path}.tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return merge_upsert(spark, path, tagged, key_cols)
 
 
 def load_snapshot(spark: SparkSession, path: str, snapshot_id: str) -> DataFrame | None:

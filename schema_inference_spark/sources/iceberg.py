@@ -1,4 +1,4 @@
-"""Iceberg source/sink adapter (jar-gated).
+"""Iceberg source/sink adapter (jar-gated) — THE storage boundary.
 
 Production target per north_rule: the image table, results, and the
 checkpoint/lineage tables live in Iceberg. The sandbox image carries no
@@ -7,17 +7,32 @@ Iceberg runtime jar, so every call degrades explicitly:
 * ``iceberg_available(spark)`` — feature-detects the catalog classes;
 * ``read_table`` / ``write_table`` — Iceberg when available, parquet-dir
   fallback otherwise (identical relational contract; the rest of the
-  engine is storage-agnostic by construction).
+  engine is storage-agnostic by construction);
+* ``append_table`` — ``writeTo(t).append()`` | parquet mode('append');
+* ``replace_table`` — ``writeTo(t).createOrReplace()`` | the safe
+  tmp-then-swap parquet rewrite (parquet cannot be overwritten in place
+  while being read; Iceberg's replace is atomic by itself);
+* ``merge_upsert`` — ``MERGE INTO t USING s ON keys WHEN MATCHED THEN
+  UPDATE WHEN NOT MATCHED THEN INSERT`` | anti-join + union + replace.
 
-The ONLY behavioral deltas at the storage layer, and where they land here:
-  - MERGE INTO            -> plans/snapshot.py upsert emulation
-  - snapshot time travel  -> snapshot_id column filtering
-  - hidden partitioning   -> explicit ``part`` column
+Every would-be-Iceberg write in the engine routes through this module
+(r3 audit; grep '\\.write\\.' finds table writes only here). The full
+call-site -> Iceberg mapping table lives in SCALE.md §Iceberg. Writers
+that are deliberately NOT tables (and stay outside this boundary): the
+persisted-profile JSON files in operators/shapes.py (reference S3-JSON
+output parity), Spark bucketed tables in sources/bucketed.py (engine
+bucketing, Iceberg analog = sorted/bucketed partition spec), and /tmp
+staging artifacts in bench/datagen.
+
+Remaining behavioral deltas at the storage layer, and where they land:
+  - snapshot time travel  -> snapshot_id column filtering (plans/snapshot)
+  - hidden partitioning   -> explicit ``part``/``centroid_id`` columns
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -35,7 +50,15 @@ def read_table(spark: SparkSession, identifier: str) -> DataFrame:
     return spark.read.parquet(identifier)
 
 
-def write_table(df: DataFrame, identifier: str, mode: str = "append") -> None:
+def write_table(
+    df: DataFrame,
+    identifier: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] | None = None,
+) -> None:
+    """``partition_by`` is the parquet-dir analog of the Iceberg table's
+    partition spec; on the Iceberg path it is ignored — the table's own
+    (possibly hidden) partitioning governs layout."""
     if "/" not in identifier and iceberg_available(df.sparkSession):
         writer = df.writeTo(identifier)
         if mode == "overwrite":
@@ -43,4 +66,56 @@ def write_table(df: DataFrame, identifier: str, mode: str = "append") -> None:
         else:
             writer.append()
         return
-    df.write.mode(mode).parquet(identifier)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(identifier)
+
+
+def append_table(df: DataFrame, identifier: str) -> None:
+    """Iceberg ``writeTo(t).append()`` (ACID append) | parquet append."""
+    write_table(df, identifier, mode="append")
+
+
+def replace_table(spark: SparkSession, df: DataFrame, identifier: str) -> DataFrame:
+    """Iceberg ``writeTo(t).createOrReplace()`` | safe tmp-then-swap parquet
+    rewrite (a direct overwrite would truncate the files a self-referencing
+    plan is still reading). Returns the re-read table."""
+    if "/" not in identifier and iceberg_available(spark):
+        df.writeTo(identifier).createOrReplace()
+        return read_table(spark, identifier)
+    tmp = f"{identifier}.tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(identifier)
+    return spark.read.parquet(identifier)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    identifier: str,
+    source: DataFrame,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """Iceberg ``MERGE INTO target USING source ON keys WHEN MATCHED THEN
+    UPDATE * WHEN NOT MATCHED THEN INSERT *`` | the idiomatic emulation:
+    target rows whose key appears in the source are replaced (broadcast
+    anti join — the source key set is small by construction), the union is
+    rewritten via replace_table. Returns the merged table."""
+    import os
+
+    if "/" not in identifier and iceberg_available(spark):
+        source.createOrReplaceTempView("_merge_source")
+        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+        spark.sql(
+            f"MERGE INTO {identifier} t USING _merge_source s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        return read_table(spark, identifier)
+    if os.path.exists(identifier):
+        current = spark.read.parquet(identifier)
+        keys = source.select(*key_cols).distinct()
+        kept = current.join(F.broadcast(keys), list(key_cols), "left_anti")
+        merged = kept.unionByName(source, allowMissingColumns=True)
+    else:
+        merged = source
+    return replace_table(spark, merged, identifier)

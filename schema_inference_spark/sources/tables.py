@@ -62,16 +62,36 @@ def ensure_utc(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# (applicationId, abspath, parallelize) -> DataFrame. DataFrames are
+# immutable logical plans, so handing the same object out is safe; keying by
+# applicationId drops entries owned by a stopped session. The win is real:
+# ensure_min_partitions' .rdd split probe costs ~0.3 s of plan translation
+# per call, and every catalog query used to pay it per table per invocation
+# (r3 dissection of the q3_topk_revenue 'regression' — execution was 0.06 s,
+# the rest was rebuilding identical scans).
+_LOAD_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
 ) -> DataFrame:
-    """Load one parquet table from a scale-factor directory.
+    """Load one parquet table from a scale-factor directory (memoized per
+    session; see _LOAD_CACHE). Scale-factor dirs are immutable inputs — a
+    path that gets overwritten must be read with spark.read.parquet
+    directly (the cached plan would pin the old file listing).
 
     ``parallelize`` applies :func:`ensure_min_partitions` (no-op whenever
     the file layout already provides enough splits)."""
     ensure_utc(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return ensure_min_partitions(df) if parallelize else df
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(os.path.join(sf_dir, f"{name}.parquet")),
+        parallelize,
+    )
+    if key not in _LOAD_CACHE:
+        df = spark.read.parquet(key[1])
+        _LOAD_CACHE[key] = ensure_min_partitions(df) if parallelize else df
+    return _LOAD_CACHE[key]
 
 
 def load_tables(
