@@ -1,16 +1,20 @@
 #!/usr/bin/env python
 """Scaling evidence for the ANN/IVF pipeline (third axis, VERDICT r2 #10):
-IVF coarse assignment over the whole corpus + a batch of n_probe top-k
-queries, run at two parallelism levels in SEPARATE JVMs; reports
-vectors/sec at both, efficiency = (thr@4N / thr@N) / 4, and asserts the
-top-k results are IDENTICAL at both widths (scaling must not change
-answers).
+IVF coarse assignment over the whole corpus (k=256 centroids, the
+production BLAS path — see ivf_assignments(exact_fold=False)) + a batch
+of n_probe top-k queries over the partition-pruned index, run at two
+parallelism levels in SEPARATE JVMs; reports vectors/sec at both,
+efficiency = (thr@4N / thr@N) / 4, and asserts the top-k results are
+IDENTICAL at both widths (scaling must not change answers).
 
 Usage: python bench_ann_scaling.py [n_vectors] [n_base] [rounds]
-Default 1.6M vectors: the two jobs carry ~1.2s of fixed driver cost
+Default 6.4M vectors: the two jobs carry a ~1.7s fixed driver cost
 (scheduling + AQE planning + Arrow worker round-trips) that no core count
 removes — smaller corpora measure Amdahl's law on the driver, not the
-engine (0.62 at 400k, 0.82+ from 1.6M).
+engine (0.62 at 400k, 0.77-0.80 at 1.6M where the floor is ~9% of the
+local[1] time; at 6.4M it is ~2% and the engine's own scaling shows).
+On a real cluster the same floor is per-job, not per-TB — it vanishes at
+production scale, which is exactly what growing the corpus emulates.
 Corpus is generated once (hash-derived 64-dim vectors, deterministic
 across JVMs) and cached in /tmp, so the measurement is the ANN kernels
 (Arrow-batched numpy assignment + bucket-pruned probes), not the
@@ -26,6 +30,11 @@ import sys
 
 RUNNER = r"""
 import json, os, sys, time
+# honest core accounting: the BLAS inside the assignment kernel must not
+# spawn its own thread pool, or local[1] silently uses >1 core and the
+# N-vs-4N comparison is meaningless (workers inherit the driver's env)
+for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[v] = "1"
 sys.path.insert(0, "{repo}")
 from pyspark.sql import functions as F
 from schema_inference_spark.session import get_spark
@@ -51,8 +60,13 @@ from schema_inference_spark.operators.similarity import (
 )
 from schema_inference_spark.sources.iceberg import write_table
 
-# deterministic centroid seeds + query vectors (same rows in every JVM)
-seed_rows = vecs.where(F.col("vec_id") < 16).collect()
+# deterministic centroid seeds + query vectors (same rows in every JVM).
+# k=256 is the production-shaped setting (textbook IVF uses k ~ sqrt(n));
+# the r3 finding: at toy k=16 the job is dominated by the parquet
+# array-column scan + Arrow transfer, which on THIS host is memory-
+# bandwidth-bound and caps measured scaling at ~0.6 regardless of the
+# engine (pure `sum(size(embedding))` JVM scans measure the same 0.64)
+seed_rows = vecs.where(F.col("vec_id") < 256).collect()
 centroids = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
              for r in sorted(seed_rows, key=lambda r: r["vec_id"])]
 queries = [c[1] for c in centroids[:4]]
@@ -61,9 +75,10 @@ queries = [c[1] for c in centroids[:4]]
 # widths share it); the parquet commit protocol is driver-serial and would
 # measure the file system, not the engine — the timed pipeline below still
 # includes the FULL index-build computation via the assignment aggregate
-idx = f"/tmp/spark_graft_ann_idx_{{n}}"
+idx = f"/tmp/spark_graft_ann_idx_{{n}}_k{{len(centroids)}}"
 if not os.path.exists(f"{{idx}}/_done"):
-    write_table(ivf_assignments(vecs, centroids), f"{{idx}}/vectors",
+    write_table(ivf_assignments(vecs, centroids, exact_fold=False),
+                f"{{idx}}/vectors",
                 mode="overwrite", partition_by=("centroid_id",))
     open(f"{{idx}}/_done", "w").write("ok")
 index_vecs = spark.read.parquet(f"{{idx}}/vectors")
@@ -75,8 +90,11 @@ def cos_py(a, b):
 
 def run_once():
     # BUILD side: the full-corpus Arrow-kernel assignment pass, forced by
-    # the per-centroid histogram (what index construction costs in compute)
-    hist = (ivf_assignments(vecs, centroids).groupBy("centroid_id")
+    # the per-centroid histogram (what index construction costs in compute);
+    # production BLAS path — the oracle-parity fold belongs to the
+    # driver-checked registry queries, not the 6.4M-vector index build
+    hist = (ivf_assignments(vecs, centroids, exact_fold=False)
+            .groupBy("centroid_id")
             .agg(F.count(F.lit(1)).alias("cnt")).collect())
     # PROBE side: the query batch as ONE job over the partition-pruned
     # index (per-query jobs would serialize on driver scheduling cost)
@@ -114,9 +132,14 @@ def run_at(cpus: int, n: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6_400_000
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    # pre-build the cached corpus + index in a wide JVM so the first
+    # measured JVM (local[n_base], often local[1]) doesn't pay one-core
+    # generation; the measurement JVMs then find both caches warm
+    run_at(8, n)
 
     per_round, best = [], {}
     results_equal = True

@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default=f"run-{int(time.time())}")
     ap.add_argument("--no-pixels", action="store_true")
     ap.add_argument("--psnr-min-db", type=float, default=40.0)
+    # bench instrumentation (bench_submit_scaling.py): after the production
+    # run, re-run the validation phase N more times and print a one-line
+    # `BENCH {json}` with the best suite time. 0 = off (production default).
+    ap.add_argument("--bench-rounds", type=int, default=0)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -96,6 +100,41 @@ def main(argv: list[str] | None = None) -> int:
         write_table(tagged, f"{args.output}/{name}", mode="append", partition_by=part)
     if args.checkpoint:
         write_checkpoint(res.verdicts, args.checkpoint, args.run_id)
+
+    if args.bench_rounds > 0:
+        # The production run above was the warmup (codegen JIT + Python
+        # worker pool); these rounds time the steady-state validation phase
+        # only — JVM/session startup and result writes are launch overhead a
+        # long-running cluster job amortizes, not engine throughput.
+        import json
+
+        n_images = images.count()
+        best = float("inf")
+        for _ in range(args.bench_rounds):
+            t0 = time.perf_counter()
+            bench_res = run_validation(
+                spark,
+                images,
+                captions,
+                config,
+                snapshot_profile=snapshot_profile,
+                materialize=True,
+            )
+            bench_res.violations.count()
+            bench_res.verdicts.count()
+            best = min(best, time.perf_counter() - t0)
+            bench_res.violations.unpersist()
+        print(
+            "BENCH "
+            + json.dumps(
+                {
+                    "cpus": spark.sparkContext.defaultParallelism,
+                    "n_images": n_images,
+                    "suite_sec": round(best, 3),
+                    "images_per_sec": round(n_images / best, 1),
+                }
+            )
+        )
 
     failed = res.verdicts.where(~res.verdicts.passed).count()
     n = res.verdicts.count()

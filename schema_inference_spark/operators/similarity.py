@@ -35,18 +35,59 @@ from pyspark.sql.functions import pandas_udf
 
 def _to_matrix(s: pd.Series) -> np.ndarray:
     """Arrow list<float> batch -> (n, d) float64 matrix. float32 -> float64
-    is exact, matching DuckDB's elementwise ::DOUBLE cast."""
-    return np.array([np.asarray(v, dtype=np.float64) for v in s], dtype=np.float64)
+    is exact, matching DuckDB's elementwise ::DOUBLE cast. One C-level
+    concatenate, NOT a per-row ``np.asarray`` loop (the loop cost 21 ms per
+    10k batch vs 4 ms — it dominated the r3 ANN scaling bench)."""
+    vals = s.values
+    if len(vals) == 0:
+        return np.empty((0, 0))
+    return np.concatenate(vals, dtype=np.float64).reshape(len(vals), -1)
+
+
+def _to_matrix_t(s: pd.Series) -> np.ndarray:
+    """Arrow batch -> (d, n) C-contiguous transposed matrix: the fold
+    kernels read one dimension-row at a time, and a contiguous row streams
+    through memory while an (n, d) column slice strides 8*d bytes per
+    element (every load its own cache line)."""
+    return np.ascontiguousarray(_to_matrix(s).T)
 
 
 def _seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise dot with strict left-to-right accumulation over dimensions:
     acc_j = acc_{j-1} + a[:,j]*b[:,j], exactly DuckDB's list-sum fold (and
     the old F.aggregate fold). NOT np.einsum/np.dot, whose pairwise/SIMD
-    summation changes the last ulp and would break oracle bit-parity."""
+    summation changes the last ulp and would break oracle bit-parity.
+    Driver-side/small-input form; batch kernels use the transposed
+    in-place folds below (bitwise-identical results, ~5x less memory
+    traffic)."""
     acc = np.zeros(a.shape[0])
     for j in range(a.shape[1]):
         acc = acc + a[:, j] * b[:, j]
+    return acc
+
+
+def _fold_rows(mta: np.ndarray, mtb: np.ndarray) -> np.ndarray:
+    """Row-wise dots over TRANSPOSED (d, n) matrices: bitwise equal to
+    ``_seq_dot(a, b)`` (same j-ascending elementwise adds; in-place ops
+    only remove temporary allocations, never reorder the fold)."""
+    acc = np.zeros(mta.shape[1])
+    tmp = np.empty(mta.shape[1])
+    for j in range(mta.shape[0]):
+        np.multiply(mta[j], mtb[j], out=tmp)
+        np.add(acc, tmp, out=acc)
+    return acc
+
+
+def _fold_many(mt: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(d, n) batch vs (k, d) constant matrix -> (k, n) dots; row i is
+    bitwise equal to ``_seq_dot(m, broadcast(B[i]))``."""
+    acc = np.zeros((B.shape[0], mt.shape[1]))
+    tmp = np.empty(mt.shape[1])
+    for i in range(B.shape[0]):
+        ai, bi = acc[i], B[i]
+        for j in range(mt.shape[0]):
+            np.multiply(mt[j], bi[j], out=tmp)
+            np.add(ai, tmp, out=ai)
     return acc
 
 
@@ -55,10 +96,10 @@ def _cosine_pair_udf(a: Column, b: Column) -> Column:
     # session, so a module-level decorator would break import-before-session
     @pandas_udf("double")
     def _cos2(pa: pd.Series, pb: pd.Series) -> pd.Series:
-        ma, mb = _to_matrix(pa), _to_matrix(pb)
+        ma, mb = _to_matrix_t(pa), _to_matrix_t(pb)
         with np.errstate(divide="ignore", invalid="ignore"):
-            sim = _seq_dot(ma, mb) / (
-                np.sqrt(_seq_dot(ma, ma)) * np.sqrt(_seq_dot(mb, mb))
+            sim = _fold_rows(ma, mb) / (
+                np.sqrt(_fold_rows(ma, ma)) * np.sqrt(_fold_rows(mb, mb))
             )
         return pd.Series(sim)
 
@@ -73,11 +114,9 @@ def cosine_to_query_udf(query_vec: list[float]):
 
     @pandas_udf("double")
     def _cos(a: pd.Series) -> pd.Series:
-        m = _to_matrix(a)
+        mt = _to_matrix_t(a)
         with np.errstate(divide="ignore", invalid="ignore"):
-            sim = _seq_dot(m, np.broadcast_to(q, m.shape)) / (
-                np.sqrt(_seq_dot(m, m)) * qn
-            )
+            sim = _fold_many(mt, q[None, :])[0] / (np.sqrt(_fold_rows(mt, mt)) * qn)
         return pd.Series(sim)
 
     return _cos
@@ -180,17 +219,16 @@ def srp_bucket_udf(n_planes: int = SRP_PLANES, seed: int = SRP_SEED):
 
     @pandas_udf("int")
     def _bucket(s: pd.Series) -> pd.Series:
-        m = _to_matrix(s)
-        if m.shape[0] == 0:
+        mt = _to_matrix_t(s)
+        if mt.shape[1] == 0:
             return pd.Series([], dtype="int32")
-        dim = m.shape[1]
+        dim = mt.shape[0]
         if dim not in cache:
             cache[dim] = srp_hyperplanes(n_planes, dim, seed)
-        planes = cache[dim]
-        acc = np.zeros(m.shape[0], dtype=np.int64)
+        dots = _fold_many(mt, cache[dim])  # (n_planes, n)
+        acc = np.zeros(mt.shape[1], dtype=np.int64)
         for j in range(n_planes):
-            d = _seq_dot(m, np.broadcast_to(planes[j], m.shape))
-            acc |= (d >= 0).astype(np.int64) << j
+            acc |= (dots[j] >= 0).astype(np.int64) << j
         return pd.Series(acc.astype(np.int32))
 
     return _bucket
@@ -244,8 +282,19 @@ def ivf_assignments(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact_fold: bool = True,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its max-cosine centroid.
+
+    ``exact_fold=True`` (default) computes every cosine with the sequential
+    IEEE fold so assignments are bit-reproducible against the DuckDB oracle
+    (the registry queries require this). ``exact_fold=False`` is the
+    production path: one BLAS matmul per Arrow batch against pre-normalized
+    centroids — O(k) faster at realistic centroid counts (k ~ sqrt(n)), and
+    still deterministic per row (a row's assignment depends only on its own
+    values, never on batch boundaries or partitioning), but its last-ulp
+    rounding differs from the fold, so oracle-checked queries must not use
+    it.
 
     ``centroids`` is a small driver-side list (k-means output in production;
     any deterministic seed set works for the index structure) shipped ONCE
@@ -266,17 +315,31 @@ def ivf_assignments(
     cmat = np.asarray([v for _, v in centroids], dtype=np.float64)  # (k, d)
     cnorms = np.sqrt(_seq_dot(cmat, cmat))
 
-    @pandas_udf("int")
-    def _assign(s: pd.Series) -> pd.Series:
-        m = _to_matrix(s)
-        norms = np.sqrt(_seq_dot(m, m))
-        sims = np.empty((m.shape[0], cmat.shape[0]))
+    if exact_fold:
+
+        @pandas_udf("int")
+        def _assign(s: pd.Series) -> pd.Series:
+            mt = _to_matrix_t(s)
+            norms = np.sqrt(_fold_rows(mt, mt))
+            dots = _fold_many(mt, cmat)  # (k, n)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # cnorms[i] * norms is bitwise = the old norms * cnorms[i]
+                # (IEEE multiply is commutative); argmax over axis 0 takes
+                # the FIRST max = lowest centroid id, same tie rule as before
+                sims = dots / (cnorms[:, None] * norms[None, :])
+            return pd.Series(cid_arr[np.argmax(sims, axis=0)])
+
+    else:
         with np.errstate(divide="ignore", invalid="ignore"):
-            for i in range(cmat.shape[0]):
-                sims[:, i] = _seq_dot(m, np.broadcast_to(cmat[i], m.shape)) / (
-                    norms * cnorms[i]
-                )
-        return pd.Series(cid_arr[np.argmax(sims, axis=1)])
+            cmat_unit = cmat / cnorms[:, None]  # (k, d), pre-normalized
+
+        @pandas_udf("int")
+        def _assign(s: pd.Series) -> pd.Series:
+            m = _to_matrix(s)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+                sims = (m @ cmat_unit.T) / norms[:, None]  # (n, k)
+            return pd.Series(cid_arr[np.argmax(sims, axis=1)])
 
     return df.withColumn("centroid_id", _assign(F.col(vec_col)))
 
