@@ -96,7 +96,12 @@ def run_validation_suite(spark, images, captions, snapshot_images) -> dict:
     )
     n_violations = res.violations.count()
     verdicts = res.verdicts.count()
+    # unpersist BOTH materialized frames: a later round rebuilds identical
+    # plans, and Spark's CacheManager would silently serve the still-cached
+    # profile — the round would then skip the stats-aggregation pass and
+    # overstate steady-state throughput
     res.violations.unpersist()
+    res.profile.unpersist()
     return {"n_violations": n_violations, "n_verdicts": verdicts}
 
 

@@ -8,11 +8,14 @@ efficiency = (thr@4N / thr@N) / 4, and asserts the top-k results are
 IDENTICAL at both widths (scaling must not change answers).
 
 Usage: python bench_ann_scaling.py [n_vectors] [n_base] [rounds]
-Default 6.4M vectors: the two jobs carry a ~1.7s fixed driver cost
-(scheduling + AQE planning + Arrow worker round-trips) that no core count
-removes — smaller corpora measure Amdahl's law on the driver, not the
-engine (0.62 at 400k, 0.77-0.80 at 1.6M where the floor is ~9% of the
-local[1] time; at 6.4M it is ~2% and the engine's own scaling shows).
+Default 25.6M vectors, sized by a measured Amdahl decomposition: each job
+carries ~2s of serial floor (driver scheduling + AQE planning + Arrow
+worker spin-up + the scan's own fixed cost) that no core count removes,
+while the scalable work — the blocked float32 GEMM assignment kernel —
+scales at 0.905 in a 4-process pinned-BLAS control on this host. At 6.4M
+vectors the scalable work is only ~11s at local[1] and the floor caps
+end-to-end efficiency at ~0.66 no matter how well the engine scales; at
+25.6M the floor is a few percent and the engine's own scaling shows.
 On a real cluster the same floor is per-job, not per-TB — it vanishes at
 production scale, which is exactly what growing the corpus emulates.
 Corpus is generated once (hash-derived 64-dim vectors, deterministic
@@ -42,17 +45,8 @@ from schema_inference_spark.session import get_spark
 cpus, n = sys.argv[1], int(sys.argv[2])
 spark = get_spark(app_name=f"ann-scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=16)
-path = f"/tmp/spark_graft_ann_corpus_{{n}}"
-if not os.path.exists(f"{{path}}/_done"):
-    # deterministic 64-dim vectors from murmur3 hash (same in every JVM);
-    # interpreted HOF is fine here — generation is cached, never measured
-    expr = ("transform(sequence(0, 63), "
-            "j -> cast((pmod(hash(id * 64 + j), 1000) - 500) / 500.0 AS float)) "
-            "AS embedding")
-    vecs = spark.range(n).selectExpr("id AS vec_id", expr)
-    # 16 files so both parallelism levels get real input splits
-    vecs.repartition(16).write.mode("overwrite").parquet(path + "/vecs")
-    open(path + "/_done", "w").write("ok")
+path = f"/tmp/spark_graft_ann_corpus_v2_{{n}}"
+assert os.path.exists(f"{{path}}/_done"), "corpus must be pre-generated"
 vecs = spark.read.parquet(path + "/vecs")
 
 from schema_inference_spark.operators.similarity import (
@@ -75,7 +69,7 @@ queries = [c[1] for c in centroids[:4]]
 # widths share it); the parquet commit protocol is driver-serial and would
 # measure the file system, not the engine — the timed pipeline below still
 # includes the FULL index-build computation via the assignment aggregate
-idx = f"/tmp/spark_graft_ann_idx_{{n}}_k{{len(centroids)}}"
+idx = f"/tmp/spark_graft_ann_idx_v2_{{n}}_k{{len(centroids)}}"
 if not os.path.exists(f"{{idx}}/_done"):
     write_table(ivf_assignments(vecs, centroids, exact_fold=False),
                 f"{{idx}}/vectors",
@@ -122,6 +116,38 @@ print(json.dumps({{"cpus": int(cpus), "sec": round(best, 3),
 """
 
 
+def ensure_corpus(n: int, files: int = 16) -> None:
+    """Deterministic 64-dim vectors from a numpy integer mix keyed only on
+    (vec_id, dim) — identical content regardless of file layout — written
+    driver-side with pyarrow (the in-Spark Arrow conversion of tens of
+    millions of list rows was ~10x slower than this). 16 files so both
+    parallelism levels get real input splits. Cached in /tmp, never
+    measured."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = f"/tmp/spark_graft_ann_corpus_v2_{n}"
+    if os.path.exists(f"{root}/_done"):
+        return
+    os.makedirs(f"{root}/vecs", exist_ok=True)
+    per = n // files
+    j = np.arange(64, dtype=np.int64)
+    for f in range(files):
+        ids = np.arange(f * per, (f + 1) * per, dtype=np.int64)
+        x = ids[:, None] * 64 + j[None, :]
+        x = (x * 2654435761) & 0xFFFFFFFF
+        x ^= x >> 16
+        x = (x * 0x45D9F3B) & 0xFFFFFFFF
+        x ^= x >> 16
+        v = (((x % 1000) - 500) / 500.0).astype(np.float32)
+        offsets = np.arange(0, (per + 1) * 64, 64, dtype=np.int32)
+        arr = pa.ListArray.from_arrays(pa.array(offsets), pa.array(v.ravel()))
+        tbl = pa.table({"vec_id": pa.array(ids), "embedding": arr})
+        pq.write_table(tbl, f"{root}/vecs/part-{f:05d}.parquet", row_group_size=per)
+    open(f"{root}/_done", "w").write("ok")
+
+
 def run_at(cpus: int, n: int) -> dict:
     code = RUNNER.format(repo=os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
@@ -132,13 +158,14 @@ def run_at(cpus: int, n: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 6_400_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 25_600_000
     n_base = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
-    # pre-build the cached corpus + index in a wide JVM so the first
-    # measured JVM (local[n_base], often local[1]) doesn't pay one-core
-    # generation; the measurement JVMs then find both caches warm
+    # pre-build the cached corpus (driver-side pyarrow) and index (a wide
+    # JVM) so the first measured JVM (often local[1]) doesn't pay one-core
+    # setup; the measurement JVMs then find both caches warm
+    ensure_corpus(n)
     run_at(8, n)
 
     per_round, best = [], {}
