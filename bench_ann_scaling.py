@@ -127,6 +127,12 @@ def ensure_corpus(n: int, files: int = 16) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if n % files != 0 or n < files:
+        raise SystemExit(
+            f"n_vectors must be a positive multiple of {files} (got {n}): "
+            "the corpus is written as equal-size files and the report "
+            "divides by the requested n"
+        )
     root = f"/tmp/spark_graft_ann_corpus_v2_{n}"
     if os.path.exists(f"{root}/_done"):
         return

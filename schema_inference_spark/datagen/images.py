@@ -241,8 +241,31 @@ def simulate_violation_rows(
     )
 
 
+def _datagen_version() -> str:
+    """Content hash of the generator sources (this module + the codec it
+    delegates to): any edit to the corpus recipe or the violation
+    simulation invalidates the cached oracle side tables automatically —
+    a fixed 'v1' token silently served round-old expectations after a
+    datagen change, producing unexplainable driver hash failures."""
+    import hashlib
+    import os
+
+    h = hashlib.md5()
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        for fname in ("images.py", "codec.py"):
+            with open(os.path.join(here, fname), "rb") as f:
+                h.update(f.read())
+    except OSError:
+        # zipimport (--py-files) deploys have no readable source path; the
+        # oracle cache is a driver/test-side concern, so a stable token is
+        # fine there
+        return "zipdeploy"
+    return h.hexdigest()[:10]
+
+
 def image_oracle_dir(n: int, n_parts: int) -> str:
-    return f"/tmp/spark_graft_image_oracle/v1_n{n}_p{n_parts}"
+    return f"/tmp/spark_graft_image_oracle/{_datagen_version()}_n{n}_p{n_parts}"
 
 
 def write_image_oracle_tables(n: int = 2000, n_parts: int = 8) -> str:

@@ -37,11 +37,28 @@ def _to_matrix(s: pd.Series) -> np.ndarray:
     """Arrow list<float> batch -> (n, d) float64 matrix. float32 -> float64
     is exact, matching DuckDB's elementwise ::DOUBLE cast. One C-level
     concatenate, NOT a per-row ``np.asarray`` loop (the loop cost 21 ms per
-    10k batch vs 4 ms — it dominated the r3 ANN scaling bench)."""
-    vals = s.values
-    if len(vals) == 0:
+    10k batch vs 4 ms — it dominated the r3 ANN scaling bench). Ragged
+    batches must fail LOUDLY (the reshape would otherwise silently shift
+    every element after the first bad row): the length sweep below costs
+    ~1 ms per 10k batch, noise next to the kernels it feeds."""
+    return _stack_rows(s.values, dtype=np.float64)
+
+
+def _stack_rows(vals, dtype=None) -> np.ndarray:
+    """Concatenate+reshape a sequence of 1-d vectors into (n, d), raising
+    on ragged input instead of silently mis-reshaping."""
+    n = len(vals)
+    if n == 0:
         return np.empty((0, 0))
-    return np.concatenate(vals, dtype=np.float64).reshape(len(vals), -1)
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+    if lens.min() != lens.max():
+        raise ValueError(
+            f"ragged embedding batch: row lengths span "
+            f"[{lens.min()}, {lens.max()}] — all vectors must share one dim"
+        )
+    if dtype is None:
+        return np.concatenate(vals).reshape(n, -1)
+    return np.concatenate(vals, dtype=dtype).reshape(n, -1)
 
 
 def _to_matrix_t(s: pd.Series) -> np.ndarray:
@@ -349,7 +366,7 @@ def ivf_assignments(
                 return pd.Series([], dtype="int32")
             # stay in the Arrow float32 — no float64 blow-up for the
             # approximate path (half the GEMM time and memory traffic)
-            m = np.concatenate(vals).reshape(len(vals), -1)
+            m = _stack_rows(vals)
             out = np.empty(len(vals), dtype=np.int64)
             blk = 2048  # (blk, k) float32 tile: 2 MB at k=256 — L2-resident
             for i in range(0, len(vals), blk):

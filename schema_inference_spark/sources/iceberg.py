@@ -84,9 +84,14 @@ def replace_table(spark: SparkSession, df: DataFrame, identifier: str) -> DataFr
     if "/" not in identifier and iceberg_available(spark):
         df.writeTo(identifier).createOrReplace()
         return read_table(spark, identifier)
+    import shutil
+
     tmp = f"{identifier}.tmp"
     df.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(identifier)
+    # drop the staging copy: leaving it doubles storage per managed table
+    # and a glob-based consumer beside the real dir would read stale rows
+    shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(identifier)
 
 
@@ -104,12 +109,19 @@ def merge_upsert(
     import os
 
     if "/" not in identifier and iceberg_available(spark):
-        source.createOrReplaceTempView("_merge_source")
-        on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
-        spark.sql(
-            f"MERGE INTO {identifier} t USING _merge_source s ON {on} "
-            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
-        )
+        # per-call unique view name, dropped after the MERGE: a fixed name
+        # would collide across interleaved merges in one session and leak
+        # into the catalog
+        view = f"_merge_source_{id(source):x}"
+        source.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.{c} = s.{c}" for c in key_cols)
+            spark.sql(
+                f"MERGE INTO {identifier} t USING {view} s ON {on} "
+                "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
         return read_table(spark, identifier)
     if os.path.exists(identifier):
         current = spark.read.parquet(identifier)

@@ -64,7 +64,8 @@ def ensure_utc(spark: SparkSession) -> None:
 
 # (applicationId, abspath, parallelize) -> DataFrame. DataFrames are
 # immutable logical plans, so handing the same object out is safe; keying by
-# applicationId drops entries owned by a stopped session. The win is real:
+# applicationId keeps sessions separate, and inserts from a new session
+# evict every other session's entries (see load_table). The win is real:
 # ensure_min_partitions' .rdd split probe costs ~0.3 s of plan translation
 # per call, and every catalog query used to pay it per table per invocation
 # (r3 dissection of the q3_topk_revenue 'regression' — execution was 0.06 s,
@@ -89,6 +90,11 @@ def load_table(
         parallelize,
     )
     if key not in _LOAD_CACHE:
+        # evict entries owned by other (stopped) sessions so a process that
+        # cycles SparkSessions doesn't pin every dead session's DataFrame
+        # graph in this module-level dict forever
+        for stale in [k for k in _LOAD_CACHE if k[0] != key[0]]:
+            del _LOAD_CACHE[stale]
         df = spark.read.parquet(key[1])
         _LOAD_CACHE[key] = ensure_min_partitions(df) if parallelize else df
     return _LOAD_CACHE[key]
