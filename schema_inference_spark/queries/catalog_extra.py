@@ -294,6 +294,105 @@ def _chunks_sql() -> str:
     return inner + " ORDER BY doc_id, chunk_id"
 
 
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per source (Rae et al. 2021
+    §A1.1 repetition filters, adapted to micro-averages for exactness):
+    type-token ratio, share of the most frequent word, share of the most
+    frequent bigram, and how many docs a repetition filter would drop.
+
+    Plan: one token explode feeding two key-partial aggregations plus one
+    per-doc lead() window for bigrams — every shuffle keyed by doc_id, no
+    interpreted HOFs, scales like the MinHash pass. Parity design: all
+    per-doc stats are INTEGERS (counts and integer-scaled thresholds —
+    ``max_word_cnt*10 > words`` IS ``share > 0.1`` without float
+    arithmetic), so sums are order-independent and the only doubles are
+    the final micro-average divisions, rounded to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(F.lower("text"), r"\s+")).alias("pos", "token"),
+        )
+        .where(F.col("token") != "")
+    )
+    wc = tok.groupBy("doc_id", "source", "token").agg(F.count(F.lit(1)).alias("c"))
+    per_doc_words = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("words"),
+        F.count(F.lit(1)).alias("distinct_words"),
+        F.max("c").alias("max_word_cnt"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.withColumn("bigram", F.concat("token", F.lit(" "), F.lead("token").over(w)))
+        .where(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram_cnt"))
+    )
+    pd_ = per_doc_words.join(bigrams, "doc_id", "left").withColumn(
+        "max_bigram_cnt", F.coalesce("max_bigram_cnt", F.lit(0))
+    )
+    flagged = (F.col("max_word_cnt") * 10 > F.col("words")) | (
+        F.col("max_bigram_cnt") * 20 > F.col("words") - 1
+    )
+    return (
+        pd_.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("distinct_words").cast("double") / F.sum("words"), 6
+            ).alias("ttr"),
+            F.round(
+                F.sum("max_word_cnt").cast("double") / F.sum("words"), 6
+            ).alias("max_word_share"),
+            F.round(
+                F.sum("max_bigram_cnt").cast("double") / F.sum(F.col("words") - 1), 6
+            ).alias("top_bigram_share"),
+            F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS token,
+         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) AS pos
+  FROM documents
+), tokf AS (
+  SELECT * FROM tok WHERE token != ''
+), wc AS (
+  SELECT doc_id, source, token, count(*) AS c FROM tokf GROUP BY doc_id, source, token
+), pdw AS (
+  SELECT doc_id, source, sum(c)::BIGINT AS words, count(*)::BIGINT AS distinct_words,
+         max(c)::BIGINT AS max_word_cnt
+  FROM wc GROUP BY doc_id, source
+), big AS (
+  SELECT doc_id,
+         token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM tokf
+), bc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM big WHERE bigram IS NOT NULL
+  GROUP BY doc_id, bigram
+), pdb AS (
+  SELECT doc_id, max(c)::BIGINT AS max_bigram_cnt FROM bc GROUP BY doc_id
+), pd AS (
+  SELECT pdw.*, coalesce(pdb.max_bigram_cnt, 0) AS max_bigram_cnt
+  FROM pdw LEFT JOIN pdb USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(distinct_words)::DOUBLE / sum(words), 6) AS ttr,
+       round(sum(max_word_cnt)::DOUBLE / sum(words), 6) AS max_word_share,
+       round(sum(max_bigram_cnt)::DOUBLE / sum(words - 1), 6) AS top_bigram_share,
+       sum(CASE WHEN max_word_cnt * 10 > words
+                 OR max_bigram_cnt * 20 > words - 1 THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+FROM pd GROUP BY source ORDER BY source
+"""
+
+
 def extra_specs() -> list[QuerySpec]:
     from schema_inference_spark.queries.catalog_text import (
         MINHASH_SQL,
@@ -319,4 +418,6 @@ def extra_specs() -> list[QuerySpec]:
                   _contamination_sql(), "n-gram benchmark decontamination"),
         QuerySpec("doc_chunks", doc_chunks, _chunks_sql(),
                   "overlapping token-window chunking"),
+        QuerySpec("doc_repetition_signals", doc_repetition_signals, REPETITION_SQL,
+                  "Gopher-style repetition quality filters per source"),
     ]
