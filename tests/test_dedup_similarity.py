@@ -312,6 +312,22 @@ def test_blas_assignment_matches_exact_fold(spark):
     assert ivf_assignments(empty, cents, exact_fold=False).count() == 0
 
 
+def test_stack_rows_rejects_ragged_batches():
+    """The one-concatenate Arrow ingest must raise on ragged vectors — the
+    dangerous case is COMPENSATING lengths (total divisible by n), which a
+    bare reshape would silently mis-align into a plausible matrix."""
+    import numpy as np
+    import pytest
+
+    from schema_inference_spark.operators.similarity import _stack_rows
+
+    with pytest.raises(ValueError, match="ragged"):
+        _stack_rows([np.array([1.0, 2.0]), np.array([3.0, 4.0, 5.0, 6.0])])
+    ok = _stack_rows([np.array([1.0, 2.0]), np.array([3.0, 4.0])])
+    assert ok.shape == (2, 2)
+    assert _stack_rows([]).shape == (0, 0)
+
+
 def test_kmeans_init_survives_near_dup_low_ids(spark):
     """VERDICT r2 #5: the old smallest-k-ids init collapsed when the first k
     rows were near-duplicates (all seeds in one planted cluster). The
