@@ -189,10 +189,31 @@ def sign_lsh_bucket_expr(vec_col: Column, dims: tuple[int, ...] = (1, 9, 17, 25,
 
 
 # --- signed-random-projection (SRP) LSH: md5-seeded hyperplanes ----------
+#
+# Banding (r4): a SINGLE n-plane bucket has collision probability
+# p(c)^n with p(c) = 1 - arccos(c)/pi — at cosine 0.95 that is
+# 0.899^6 ~ 0.53, so HALF the true near-dups are never candidates
+# (VERDICT r3 #1). Like MinHash LSH, recall comes from OR-ing
+# SRP_BANDS independent plane-sets:
+#
+#     recall(c) = 1 - (1 - p(c)^SRP_PLANES)^SRP_BANDS
+#
+# at the defaults (6 planes x 6 bands): 0.989 @ cosine 0.95,
+# 0.969 @ 0.92 — measured against all-pairs ground truth in
+# tests/test_dedup_similarity.py::test_banded_srp_recall_moderate_similarity.
+# More PLANES shrink buckets (cost); more BANDS raise recall — never trade
+# one for the other (SCALE.md §SRP sizing).
 
 SRP_PLANES = 6
+SRP_BANDS = 6
 SRP_DIM = 64  # testdata embedding dimension; pass dim= for other tables
 SRP_SEED = 97
+
+
+def srp_band_seed(seed: int, band: int) -> int:
+    """Effective seed of one band's plane-set. Band 0 keeps the pre-r4
+    single-band constants, so existing bucket layouts/oracles are stable."""
+    return seed + 1000003 * band
 
 
 def srp_hyperplanes(
@@ -215,12 +236,17 @@ def srp_hyperplanes(
 
 
 def srp_bucket_of(vec: list[float], n_planes: int = SRP_PLANES, seed: int = SRP_SEED) -> int:
-    """Driver-side bucket of one vector (same fold as the Arrow kernel)."""
+    """Driver-side bucket of one vector (same fold as the Arrow kernel).
+
+    Sign rule everywhere: bit set iff NOT (dot < 0) — for a NaN dot both
+    branches of numpy's >= are False while DuckDB's CASE WHEN dot >= 0 is
+    TRUE (DuckDB compares NaN above all values), so the negated form keeps
+    a NaN embedding bucketing identically on both engines (ADVICE r3)."""
     v = np.asarray(vec, dtype=np.float64)[None, :]
     planes = srp_hyperplanes(n_planes, v.shape[1], seed)
     bucket = 0
     for j in range(n_planes):
-        if _seq_dot(v, planes[j][None, :])[0] >= 0:
+        if not _seq_dot(v, planes[j][None, :])[0] < 0:
             bucket |= 1 << j
     return bucket
 
@@ -245,10 +271,47 @@ def srp_bucket_udf(n_planes: int = SRP_PLANES, seed: int = SRP_SEED):
         dots = _fold_many(mt, cache[dim])  # (n_planes, n)
         acc = np.zeros(mt.shape[1], dtype=np.int64)
         for j in range(n_planes):
-            acc |= (dots[j] >= 0).astype(np.int64) << j
+            # NOT (dot < 0): True for NaN, matching DuckDB's CASE WHEN
+            # dot >= 0 (NaN above all values) — see srp_bucket_of
+            acc |= (~(dots[j] < 0)).astype(np.int64) << j
         return pd.Series(acc.astype(np.int32))
 
     return _bucket
+
+
+def srp_band_buckets_udf(
+    n_planes: int = SRP_PLANES, n_bands: int = SRP_BANDS, seed: int = SRP_SEED
+):
+    """Column fn: array<int> of per-band SRP buckets (length n_bands).
+
+    All bands' planes stack into ONE (n_bands*n_planes, d) constant matrix,
+    so the whole banded signature is a single Arrow pass of
+    n_bands*n_planes sequential-fold dots — the banding costs no extra
+    batch traversals over the single-band kernel."""
+    cache: dict[int, np.ndarray] = {}
+
+    @pandas_udf("array<int>")
+    def _buckets(s: pd.Series) -> pd.Series:
+        mt = _to_matrix_t(s)
+        n = mt.shape[1]
+        if n == 0:
+            return pd.Series([], dtype=object)
+        dim = mt.shape[0]
+        if dim not in cache:
+            cache[dim] = np.vstack(
+                [
+                    srp_hyperplanes(n_planes, dim, srp_band_seed(seed, b))
+                    for b in range(n_bands)
+                ]
+            )
+        dots = _fold_many(mt, cache[dim])  # (n_bands*n_planes, n)
+        out = np.zeros((n_bands, n), dtype=np.int32)
+        for b in range(n_bands):
+            for j in range(n_planes):
+                out[b] |= (~(dots[b * n_planes + j] < 0)).astype(np.int32) << j
+        return pd.Series(list(out.T))
+
+    return _buckets
 
 
 def srp_bucket_sql(vec: str, planes: np.ndarray) -> str:
@@ -281,17 +344,71 @@ def sign_lsh_buckets(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return srp_buckets(df, vec_col)
 
 
-def cosine_topk_lsh(
-    df: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
+def srp_band_buckets(
+    df: DataFrame,
     vec_col: str = "embedding",
+    n_planes: int = SRP_PLANES,
+    n_bands: int = SRP_BANDS,
+    seed: int = SRP_SEED,
 ) -> DataFrame:
-    """ANN top-k: brute-force restricted to the query's SRP-LSH bucket.
+    """Exploded banded blocking keys: one row per (input row, band) with
+    ``band`` and ``bucket`` columns — the MinHash-banding shape
+    (operators/dedup.py lsh_candidate_pairs) for embeddings. At scale the
+    (band, bucket) pair is the self-join key; each band's join is
+    bucket-local and recall comes from the OR across bands."""
+    arr = srp_band_buckets_udf(n_planes, n_bands, seed)(F.col(vec_col))
+    return (
+        df.withColumn("_bb", arr)
+        .select("*", F.posexplode("_bb").alias("band", "bucket"))
+        .drop("_bb")
+    )
 
-    At scale the bucket column is a partition/cluster key, so the scan
-    prunes to ~1/2^bits of the data before any distance math."""
-    q_bucket = srp_bucket_of(query_vec)
-    bucketed = srp_buckets(df, vec_col).where(F.col("bucket") == q_bucket)
-    return cosine_topk(bucketed, query_vec, k, id_col, vec_col)
+
+def srp_band_bucket_sqls(
+    vec: str,
+    n_planes: int = SRP_PLANES,
+    n_bands: int = SRP_BANDS,
+    seed: int = SRP_SEED,
+    dim: int = SRP_DIM,
+) -> list[str]:
+    """Per-band DuckDB bucket expressions (band b = srp_bucket_sql over the
+    band's own md5-seeded plane-set)."""
+    return [
+        srp_bucket_sql(vec, srp_hyperplanes(n_planes, dim, srp_band_seed(seed, b)))
+        for b in range(n_bands)
+    ]
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = SRP_PLANES,
+    n_bands: int = SRP_BANDS,
+    seed: int = SRP_SEED,
+) -> DataFrame:
+    """ANN top-k: brute-force restricted to rows sharing the query's SRP
+    bucket in AT LEAST ONE band (multi-band probe, r4 — the single-bucket
+    probe found a cosine-0.95 neighbor with only P~0.53; across 6 bands
+    the candidate probability is 1-(1-p^6)^6 ~ 0.989, VERDICT r3 #2).
+
+    At scale the per-band bucket columns are partition/cluster keys, so
+    the scan prunes to ~n_bands/2^planes of the data before distance math.
+    For query-heavy workloads prefer the persisted IVF index
+    (build_ivf_index/query_ivf_index): recall-tested, partition-pruned,
+    and its probe count adapts to the query."""
+    q_buckets = [
+        srp_bucket_of(query_vec, n_planes, srp_band_seed(seed, b))
+        for b in range(n_bands)
+    ]
+    arr = srp_band_buckets_udf(n_planes, n_bands, seed)(F.col(vec_col))
+    bucketed = df.withColumn("_bb", arr)
+    cond = F.lit(False)
+    for b, qb in enumerate(q_buckets):
+        cond = cond | (F.element_at("_bb", b + 1) == F.lit(qb))
+    return cosine_topk(bucketed.where(cond).drop("_bb"), query_vec, k, id_col, vec_col)
 
 
 def ivf_assignments(
@@ -532,19 +649,59 @@ def embedding_near_dup_pairs(
     block: str = "lsh",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = SRP_PLANES,
+    n_bands: int = SRP_BANDS,
+    seed: int = SRP_SEED,
 ) -> DataFrame:
     """Pairs (id_a < id_b) within a blocking key with cosine >= threshold.
 
-    ``block='lsh'`` (DEFAULT — the scale path): SRP-bucket blocking, so the
-    self-join is bucket-local (~n²/2^planes comparisons, AQE splits a hot
-    bucket). Any other value names an existing column to block on — the
-    labeled variant kept for oracle/test duty; it is all-pairs within the
-    block and therefore O(n_block²): fine for bounded label groups, a
-    scale-killer on an unbounded one (VERDICT r2 #6)."""
+    ``block='lsh'`` (DEFAULT — the scale path): BANDED SRP blocking (r4).
+    Candidates are pairs colliding in >= 1 of ``n_bands`` independent
+    ``n_planes``-plane bucketings, exactly the MinHash-band OR —
+
+        recall(c) = 1 - (1 - p(c)^n_planes)^n_bands,  p(c) = 1 - arccos(c)/pi
+
+    = 0.989 at cosine 0.95 / 0.969 at 0.92 with the 6x6 defaults (the r3
+    single-band form missed ~47% at 0.95 — VERDICT r3 #1; measured-recall
+    test: test_banded_srp_recall_moderate_similarity). The self-join is
+    (band, bucket)-local: one slim (id, band, bucket) explode, per-bucket
+    joins (AQE splits a hot bucket), DISTINCT pair set, then ONE cosine
+    per candidate pair via joins back to the vectors.
+
+    Any other value names an existing column to block on — the labeled
+    variant kept for oracle/test duty; it is all-pairs within the block and
+    therefore O(n_block²): fine for bounded label groups, a scale-killer on
+    an unbounded one (VERDICT r2 #6)."""
     if block == "lsh":
-        blocked, block_col = srp_buckets(df, vec_col), "bucket"
-    else:
-        blocked, block_col = df, block
+        slim = srp_band_buckets(
+            df.select(id_col, vec_col), vec_col, n_planes, n_bands, seed
+        ).select(id_col, "band", "bucket")
+        a, b = slim.alias("a"), slim.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        return (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine_sim"),
+            )
+            .where(F.col("cosine_sim") >= threshold)
+        )
+    blocked, block_col = df, block
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(

@@ -127,21 +127,36 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dups_lsh_sql() -> str:
+    """BANDED oracle (r4): same structure as the Spark path — explode each
+    row into (band, bucket) keys, band-local self-join for candidates,
+    DISTINCT the pair set, ONE cosine per surviving pair. Matching the
+    banding in the oracle keeps the parity strict while the measured-recall
+    pytest (not parity, which computes the same buckets on both engines)
+    guards the recall property itself."""
     from schema_inference_spark.operators.similarity import (
         cosine_sql,
-        srp_bucket_sql,
-        srp_hyperplanes,
+        srp_band_bucket_sqls,
     )
 
-    srp = srp_bucket_sql("embedding", srp_hyperplanes())
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {s} AS bucket FROM embeddings"
+        for b, s in enumerate(srp_band_bucket_sqls("embedding"))
+    )
     return f"""
-WITH bucketed AS (
-  SELECT vec_id, embedding, {srp} AS bucket FROM embeddings
+WITH bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {cosine_sql('a.embedding', 'b.embedding')} AS cosine_sim
-FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.35
+SELECT c.id_a, c.id_b,
+       {cosine_sql('ea.embedding', 'eb.embedding')} AS cosine_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE {cosine_sql('ea.embedding', 'eb.embedding')} >= 0.35
 ORDER BY id_a, id_b
 """
 

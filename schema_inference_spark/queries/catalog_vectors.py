@@ -12,12 +12,14 @@ from schema_inference_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    srp_band_bucket_sqls,
     srp_bucket_sql,
     srp_buckets,
     srp_hyperplanes,
 )
 
 _SRP_SQL = srp_bucket_sql("embedding", srp_hyperplanes())
+_SRP_BAND_SQLS = srp_band_bucket_sqls("embedding")
 from schema_inference_spark.queries import QuerySpec
 from schema_inference_spark.sources.tables import load_table
 
@@ -50,12 +52,17 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, _query_vec(spark, sf_dir), k=10)
 
 
+# multi-band probe (r4): candidate iff the row shares the query's bucket
+# in >= 1 band — the OR mirrors cosine_topk_lsh's banded filter exactly
+_Q_BANDS = ", ".join(f"{s} AS qb{i}" for i, s in enumerate(_SRP_BAND_SQLS))
+_BAND_MATCH = " OR ".join(f"({s}) = qb{i}" for i, s in enumerate(_SRP_BAND_SQLS))
+
 TOPK_LSH_SQL = f"""
-WITH q AS (SELECT embedding AS qv, {_SRP_SQL} AS qb
+WITH q AS (SELECT embedding AS qv, {_Q_BANDS}
            FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, {cosine_sql('embedding', 'qv')} AS cosine_sim
 FROM embeddings, q
-WHERE {_SRP_SQL} = qb
+WHERE {_BAND_MATCH}
 ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
 """
 

@@ -121,6 +121,57 @@ def test_embedding_near_dup_pairs(emb_df):
     assert {(r["id_a"], r["id_b"]) for r in labeled} == {(5, 500)}
 
 
+def test_banded_srp_recall_moderate_similarity(spark):
+    """The r3 recall gap, measured (VERDICT r3 #1): pairs planted at cosine
+    0.92-0.95 — NOT the 0.99 near-identical pairs every earlier test used.
+    A single 6-plane SRP bucket catches one with probability p(c)^6 ~ 0.44-
+    0.53, so the pre-r4 default silently dropped about half of them. The
+    banded default must reach recall(c) = 1-(1-p(c)^6)^6 >= 0.95 against
+    the exact all-pairs ground truth, and the single-band form must stay
+    measurably worse (proves this test can actually see the difference)."""
+    import numpy as np
+
+    from schema_inference_spark.operators import similarity as S
+
+    rng = np.random.default_rng(1234)
+    dim, n_pairs = 64, 200
+    targets = [0.92, 0.935, 0.95]
+    rows = []
+    for i in range(n_pairs):
+        u = rng.standard_normal(dim)
+        u /= np.linalg.norm(u)
+        w = rng.standard_normal(dim)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        c = targets[i % len(targets)]
+        v = c * u + math.sqrt(1.0 - c * c) * w
+        rows.append((i, [float(x) for x in u]))
+        rows.append((10000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    truth = {(i, 10000 + i) for i in range(n_pairs)}
+    # unplanted cosines concentrate at ~N(0, 1/64); threshold 0.9 keeps the
+    # ground truth exactly the planted pairs (checked, not assumed):
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert found <= truth, f"false positives: {sorted(found - truth)[:5]}"
+    recall = len(found & truth) / n_pairs
+    assert recall >= 0.95, f"banded SRP recall {recall:.3f} < 0.95"
+
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, threshold=0.9, n_bands=1).collect()
+    }
+    single_recall = len(single & truth) / n_pairs
+    assert single_recall < 0.80, (
+        f"single-band recall {single_recall:.3f} — planted pairs too easy, "
+        "test can no longer measure the banding win"
+    )
+    assert recall > single_recall
+
+
 def test_srp_balances_where_fixed_coords_skew(spark):
     """The r3 SRP motivation, measured: on positive-mean correlated
     embeddings (the common shape of learned embeddings) every coordinate
