@@ -52,7 +52,11 @@ def _stopword_regex(sw: tuple[str, ...]) -> str:
     # whole-token match: a consuming left boundary (^ or whitespace) plus a
     # zero-width right boundary, so adjacent stopwords ("of the") each match.
     # Longest-first alternation keeps prefix words ("a" vs "and") unambiguous.
-    alt = "|".join(sorted(sw, key=len, reverse=True))
+    # re.escape each word: a future profile with apostrophes/dots/hyphens
+    # must count literal tokens, not change regex semantics (ADVICE r3).
+    import re
+
+    alt = "|".join(re.escape(w) for w in sorted(sw, key=len, reverse=True))
     return rf"(^|\s)({alt})(?=\s|$)"
 
 

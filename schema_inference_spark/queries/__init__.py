@@ -50,7 +50,8 @@ def registry() -> dict[str, QuerySpec]:
         catalog_images,
     ):
         for spec in mod.SPECS:
-            assert spec.name not in specs, f"duplicate query name {spec.name}"
+            if spec.name in specs:
+                raise RuntimeError(f"duplicate query name {spec.name}")
             specs[spec.name] = spec
     with_oracle = {n: s for n, s in specs.items() if s.sql is not None}
     rows_only = {n: s for n, s in specs.items() if s.sql is None}
@@ -61,5 +62,9 @@ def registry() -> dict[str, QuerySpec]:
     # (still strict-swept in pytest; its path is exercised end-to-end by
     # doc_lsh_candidates -> doc_verified_near_dups and doc_fingerprints).
     out = {**with_oracle, **rows_only}
-    assert len(out) <= 50, f"driver evaluates only 50 entries; {len(out)} registered"
+    # RuntimeError, not assert (survives python -O), and == not <=: the
+    # driver evaluates exactly 50 entries, so a silently shrunken registry
+    # is lost CORRECTNESS coverage, not a harmless under-fill (ADVICE r3).
+    if len(out) != 50:
+        raise RuntimeError(f"driver evaluates exactly 50 entries; {len(out)} registered")
     return out

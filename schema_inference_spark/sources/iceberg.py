@@ -95,6 +95,31 @@ def replace_table(spark: SparkSession, df: DataFrame, identifier: str) -> DataFr
     return spark.read.parquet(identifier)
 
 
+def _align_to_target(source: DataFrame, target: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
+    """One column contract for BOTH merge branches (Iceberg `UPDATE SET * /
+    INSERT *` requires source ≡ target columns; the parquet emulation must
+    not silently accept what the real runtime would reject): extra source
+    columns raise, missing non-key source columns become typed nulls, and
+    the projection fixes target column order."""
+    missing_keys = [c for c in key_cols if c not in source.columns]
+    if missing_keys:
+        raise ValueError(f"merge source lacks key columns {missing_keys}")
+    extra = [c for c in source.columns if c not in target.columns]
+    if extra:
+        raise ValueError(
+            f"merge source has columns {extra} absent from the target — "
+            "Iceberg MERGE ... UPDATE SET * would reject this; evolve the "
+            "target schema first (replace_table) or drop the columns"
+        )
+    tgt_types = {f.name: f.dataType for f in target.schema.fields}
+    return source.select(
+        *[
+            F.col(c) if c in source.columns else F.lit(None).cast(tgt_types[c]).alias(c)
+            for c in target.columns
+        ]
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     identifier: str,
@@ -105,10 +130,13 @@ def merge_upsert(
     UPDATE * WHEN NOT MATCHED THEN INSERT *`` | the idiomatic emulation:
     target rows whose key appears in the source are replaced (broadcast
     anti join — the source key set is small by construction), the union is
-    rewritten via replace_table. Returns the merged table."""
+    rewritten via replace_table. Both branches share the `_align_to_target`
+    column contract, so sandbox-green inputs cannot mis-merge on a real
+    Iceberg runtime. Returns the merged table."""
     import os
 
     if "/" not in identifier and iceberg_available(spark):
+        source = _align_to_target(source, read_table(spark, identifier), key_cols)
         # per-call unique view name, dropped after the MERGE: a fixed name
         # would collide across interleaved merges in one session and leak
         # into the catalog
@@ -125,9 +153,10 @@ def merge_upsert(
         return read_table(spark, identifier)
     if os.path.exists(identifier):
         current = spark.read.parquet(identifier)
+        source = _align_to_target(source, current, key_cols)
         keys = source.select(*key_cols).distinct()
         kept = current.join(F.broadcast(keys), list(key_cols), "left_anti")
-        merged = kept.unionByName(source, allowMissingColumns=True)
+        merged = kept.unionByName(source)
     else:
         merged = source
     return replace_table(spark, merged, identifier)

@@ -11,6 +11,7 @@ guarantees via ReadSchema pruning.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -70,7 +71,15 @@ def ensure_utc(spark: SparkSession) -> None:
 # per call, and every catalog query used to pay it per table per invocation
 # (r3 dissection of the q3_topk_revenue 'regression' — execution was 0.06 s,
 # the rest was rebuilding identical scans).
-_LOAD_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+_LOAD_CACHE: dict[tuple[str, str, bool], tuple["SparkSession", DataFrame]] = {}
+_LOAD_CACHE_LOCK = threading.Lock()
+
+
+def _session_stopped(sess: "SparkSession") -> bool:
+    try:
+        return sess.sparkContext._jsc is None
+    except Exception:
+        return True
 
 
 def load_table(
@@ -89,15 +98,22 @@ def load_table(
         os.path.abspath(os.path.join(sf_dir, f"{name}.parquet")),
         parallelize,
     )
-    if key not in _LOAD_CACHE:
-        # evict entries owned by other (stopped) sessions so a process that
-        # cycles SparkSessions doesn't pin every dead session's DataFrame
-        # graph in this module-level dict forever
-        for stale in [k for k in _LOAD_CACHE if k[0] != key[0]]:
+    with _LOAD_CACHE_LOCK:
+        hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    df = spark.read.parquet(key[1])
+    if parallelize:
+        df = ensure_min_partitions(df)
+    with _LOAD_CACHE_LOCK:
+        # evict only entries whose owning session is actually STOPPED (a
+        # concurrently live second session keeps its cache — ADVICE r3) so
+        # a process that cycles SparkSessions doesn't pin every dead
+        # session's DataFrame graph in this module-level dict forever
+        for stale in [k for k, (s, _) in _LOAD_CACHE.items() if k[0] != key[0] and _session_stopped(s)]:
             del _LOAD_CACHE[stale]
-        df = spark.read.parquet(key[1])
-        _LOAD_CACHE[key] = ensure_min_partitions(df) if parallelize else df
-    return _LOAD_CACHE[key]
+        _LOAD_CACHE[key] = (spark, df)
+    return df
 
 
 def load_tables(

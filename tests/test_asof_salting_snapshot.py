@@ -79,6 +79,33 @@ def test_snapshot_upsert_lifecycle(spark):
         assert {r["part"]: r["n_rows"] for r in load_snapshot(spark, path, "s1").collect()} == second
 
 
+def test_merge_upsert_column_contract(spark):
+    """Both merge branches share one column contract (ADVICE r3): extra
+    source columns raise (what Iceberg `UPDATE SET *` would do), missing
+    non-key columns become typed nulls in target column order."""
+    import pytest
+
+    from schema_inference_spark.sources.iceberg import merge_upsert
+
+    base = spark.createDataFrame([(0, 10, "a"), (1, 20, "b")], "part int, n_rows long, tag string")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/tbl"
+        merge_upsert(spark, path, base, ("part",))
+        # missing non-key column -> typed null, target column order kept
+        missing = spark.createDataFrame([(1, 99)], "part int, n_rows long")
+        merged = merge_upsert(spark, path, missing, ("part",))
+        assert merged.columns == ["part", "n_rows", "tag"]
+        rows = {r["part"]: (r["n_rows"], r["tag"]) for r in merged.collect()}
+        assert rows == {0: (10, "a"), 1: (99, None)}
+        # extra source column -> loud failure, not a silent schema widen
+        extra = spark.createDataFrame([(2, 5, "c", True)], "part int, n_rows long, tag string, odd boolean")
+        with pytest.raises(ValueError, match="absent from the target"):
+            merge_upsert(spark, path, extra, ("part",))
+        # source without the key column -> loud failure
+        with pytest.raises(ValueError, match="key columns"):
+            merge_upsert(spark, path, base.drop("part"), ("part",))
+
+
 def test_hll_within_tolerance(spark, sf_dir):
     from schema_inference_spark.queries.catalog_core import partkey_cardinality_hll
 
