@@ -105,6 +105,20 @@ def run_validation_suite(spark, images, captions, snapshot_images) -> dict:
     return {"n_violations": n_violations, "n_verdicts": verdicts}
 
 
+def assert_no_cached_plans(spark) -> None:
+    """Honest-bench guard (VERDICT r3 #10): every timed round must start
+    with an EMPTY CacheManager — r2's validation_suite number was silently
+    served from a still-cached profile, flattering throughput by ~35%. A
+    new persist site inside a timed section now fails the bench loudly
+    instead of corrupting BENCH_r{N}.json."""
+    if not spark._jsparkSession.sharedState().cacheManager().isEmpty():
+        raise RuntimeError(
+            "CacheManager is not empty at the start of a timed round — "
+            "unpersist whatever the previous section cached (see r2 "
+            "bench-integrity note in BASELINE.md)"
+        )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # measured-best default for THIS bench's 50k-image suite (r2 sweep:
@@ -153,6 +167,7 @@ def main() -> None:
         spec = specs[name]
         best = float("inf")
         for _ in range(2):
+            assert_no_cached_plans(spark)
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
@@ -165,6 +180,7 @@ def main() -> None:
     stats = run_validation_suite(spark, images, captions, snapshot)
     suite_sec = float("inf")
     for _ in range(2):
+        assert_no_cached_plans(spark)
         t0 = time.perf_counter()
         stats = run_validation_suite(spark, images, captions, snapshot)
         suite_sec = min(suite_sec, time.perf_counter() - t0)
@@ -180,6 +196,7 @@ def main() -> None:
     run_validation_suite(spark, small_images, small_captions, small_snapshot)
     small_sec = float("inf")
     for _ in range(2):
+        assert_no_cached_plans(spark)
         t0 = time.perf_counter()
         run_validation_suite(spark, small_images, small_captions, small_snapshot)
         small_sec = min(small_sec, time.perf_counter() - t0)

@@ -34,8 +34,12 @@ def words_expr(col: Column) -> Column:
     return F.split(col, " ")
 
 
-def shingles_expr(col: Column, k: int = 3) -> Column:
-    """k-word shingles as an array<string>; empty array when fewer than k words."""
+def _shingles_expr(col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string>; empty array when fewer than k words.
+
+    _private: the ``F.transform`` lambda runs INTERPRETED per row in Spark
+    4.1.2 — corpus-wide shingling must use :func:`exploded_shingles`
+    (VERDICT r3 #9: no public interpreted-HOF entry points)."""
     words = words_expr(col)
     return F.when(
         F.size(words) >= k,
@@ -51,11 +55,11 @@ def exploded_shingles(df, id_col: str, text: Column, k: int = 3):
 
     ``explode(sequence)`` generates shingle start indices and
     ``array_join(slice(...))`` builds each shingle: every expression is
-    codegen'd, unlike :func:`shingles_expr`, whose ``F.transform`` lambda
+    codegen'd, unlike ``_shingles_expr``, whose ``F.transform`` lambda
     Spark 4.1.2 evaluates interpreted per row (the repo's measured 20x
     lesson). Docs with fewer than k words produce no rows. This is the form
-    every corpus-wide operator must use; ``shingles_expr`` remains only as
-    the per-row Column API mirrored by the DuckDB oracle SQL.
+    every corpus-wide operator must use; ``_shingles_expr`` remains only as
+    the (private) per-row mirror of the DuckDB oracle SQL.
     """
     words = F.split(text, " ")
     base = df.select(id_col, words.alias("_w")).where(F.size("_w") >= k)
@@ -98,21 +102,23 @@ def _perm_expr(base: Column, seed: int) -> Column:
     return (F.lit(a) * (base % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
 
 
-def shingle_hashes_expr(col: Column, k: int = 3) -> Column:
-    """Base 60-bit hashes of the k-shingles (materialize once per row)."""
+def _shingle_hashes_expr(col: Column, k: int = 3) -> Column:
+    """Base 60-bit hashes of the k-shingles. _private: interpreted per-row
+    mirror — the codegen path is operators/dedup (explode form)."""
     return F.transform(
-        shingles_expr(col, k),
+        _shingles_expr(col, k),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
     )
 
 
-def minhash_expr(col: Column, seed: int, k: int = 3) -> Column:
-    """One MinHash permutation (prefer minhash_signatures for many perms —
-    it shares the base-hash array across permutations)."""
-    return F.array_min(F.transform(shingle_hashes_expr(col, k), lambda h: _perm_expr(h, seed)))
+def _minhash_expr(col: Column, seed: int, k: int = 3) -> Column:
+    """One MinHash permutation. _private: interpreted per-row mirror of the
+    oracle SQL — corpus-wide MinHash is operators/dedup.minhash_signatures
+    (explode+codegen partial-agg min()s; the repo's measured 20x lesson)."""
+    return F.array_min(F.transform(_shingle_hashes_expr(col, k), lambda h: _perm_expr(h, seed)))
 
 
-def minhash_from_hashes(hashes_col: Column, seed: int) -> Column:
+def _minhash_from_hashes(hashes_col: Column, seed: int) -> Column:
     return F.array_min(F.transform(hashes_col, lambda h: _perm_expr(h, seed)))
 
 
@@ -131,8 +137,6 @@ def minhash_sql(expr: str, seed: int, k: int = 3) -> str:
     )
 
 
-def minhash_signature_exprs(col: Column, n_perm: int = 8, k: int = 3) -> list[Column]:
-    return [minhash_expr(col, seed, k).alias(f"mh{seed}") for seed in range(n_perm)]
 
 
 # --- SimHash ---------------------------------------------------------------

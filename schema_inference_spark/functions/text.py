@@ -139,18 +139,18 @@ def lang_id_sql(expr: str) -> str:
     return best
 
 
-def fingerprint_expr(col: Column, k: int = 4) -> Column:
+def _fingerprint_expr(col: Column, k: int = 4) -> Column:
     """Document fingerprint: min 60-bit hash over k-word shingles (the
     1-permutation MinHash — a content-defined fingerprint robust to
     reordering of distant parts).
 
-    Per-row Column API ONLY (routes through an interpreted array fold) —
-    corpus-wide fingerprinting must use
+    _private per-row mirror ONLY (routes through an interpreted array
+    fold) — corpus-wide fingerprinting must use
     :func:`schema_inference_spark.operators.dedup.document_fingerprints`,
     the explode+codegen aggregation form of the same function."""
-    from schema_inference_spark.functions.hashing import minhash_expr
+    from schema_inference_spark.functions.hashing import _minhash_expr
 
-    return minhash_expr(col, seed=997, k=k)
+    return _minhash_expr(col, seed=997, k=k)
 
 
 def fingerprint_sql(expr: str, k: int = 4) -> str:

@@ -84,7 +84,7 @@ def document_fingerprints(
 ) -> DataFrame:
     """(id, fingerprint): the 1-permutation MinHash content fingerprint on
     the same explode+codegen aggregation path as minhash_signatures (the
-    per-row ``fingerprint_expr`` routes through an interpreted array fold —
+    per-row ``_fingerprint_expr`` routes through an interpreted array fold —
     never use it corpus-wide). NULL for docs with fewer than k words."""
     return _minhash_aggregated(df, id_col, text_col, [(seed, "fingerprint")], k)
 

@@ -74,3 +74,31 @@ def test_single_scan_for_row_rules(spark):
     row_only = [r for r in _rules() if not hasattr(r, "cols")]
     plan = apply_rules(df, row_only, id_cols=("id",))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 1  # all row rules share one scan
+
+
+def test_hll_profile_accuracy_within_rsd(spark):
+    """VERDICT r3 #4: the rows-only driver check on lineitem_profile_hll is
+    backed by a NUMERIC accuracy bound here. approx_count_distinct's default
+    rsd is 0.05; HLL++ additionally switches to (near-exact) linear counting
+    at low cardinality, so 3*rsd is a conservative envelope. Every metric
+    that is not an estimate (n_rows, n_null, min, max) must be EXACTLY equal
+    between the HLL and exact modes — same scan, same partials."""
+    from schema_inference_spark.queries.catalog_rules import (
+        lineitem_generic_profile,
+        lineitem_profile_hll,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {(r["column"], r["metric"]): r["value"]
+                 for r in lineitem_generic_profile(spark, sf_dir).collect()}
+        approx = {(r["column"], r["metric"]): r["value"]
+                  for r in lineitem_profile_hll(spark, sf_dir).collect()}
+        assert exact.keys() == approx.keys()
+        for key, ev in exact.items():
+            av = approx[key]
+            if key[1] == "n_distinct":
+                assert ev > 0
+                rel = abs(av - ev) / ev
+                assert rel <= 3 * 0.05, f"{key} at {sf_dir}: exact={ev} hll={av} rel={rel:.4f}"
+            else:
+                assert av == ev, f"{key} at {sf_dir}: exact={ev} hll={av}"

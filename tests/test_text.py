@@ -52,7 +52,7 @@ def test_quality_score_ranges(spark):
 def test_fingerprint_stability_and_sensitivity(spark):
     base = "alpha bravo charlie delta echo foxtrot golf hotel"
     df = spark.createDataFrame([(base,), (base,), (base + " extra",)], "text string")
-    rows = [r["fp"] for r in df.select(TX.fingerprint_expr(F.col("text")).alias("fp")).collect()]
+    rows = [r["fp"] for r in df.select(TX._fingerprint_expr(F.col("text")).alias("fp")).collect()]
     assert rows[0] == rows[1]  # deterministic
     # appending text can only add shingles -> fingerprint (min-hash) <= original
     assert rows[2] <= rows[0]
