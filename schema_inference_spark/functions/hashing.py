@@ -70,6 +70,37 @@ def exploded_shingles(df, id_col: str, text: Column, k: int = 3):
     ).select(id_col, F.array_join(F.slice(F.col("_w"), F.col("_i"), k), " ").alias("shingle"))
 
 
+def exploded_shingle_positions(df, id_col: str, text: Column, k: int):
+    """(id_col, pos, h) rows: 1-based word position of each k-word shingle
+    plus its 60-bit md5 hash — the positioned variant of
+    :func:`exploded_shingles` for substring-granularity dedup. Same
+    whole-stage-codegen shape (explode(sequence) + array_join(slice));
+    docs with fewer than k words produce no rows."""
+    words = F.split(text, " ")
+    base = df.select(id_col, words.alias("_w")).where(F.size("_w") >= k)
+    return base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.size("_w") - (k - 1))).alias("pos"),
+        F.col("_w"),
+    ).select(
+        id_col,
+        F.col("pos").cast("bigint"),
+        md5_long_expr(F.array_join(F.slice(F.col("_w"), F.col("pos"), k), " ")).alias("h"),
+    )
+
+
+def shingle_positions_sql(table: str, id_col: str, text_expr: str, k: int) -> str:
+    """DuckDB mirror of :func:`exploded_shingle_positions` (a FROM-able
+    subquery producing (id_col, pos, h))."""
+    words = f"string_split({text_expr}, ' ')"
+    return (
+        f"(SELECT {id_col}, pos, "
+        f"('0x' || substr(md5(array_to_string(list_slice(_w, pos, pos + {k - 1}), ' ')), 1, 15))::BIGINT AS h "
+        f"FROM (SELECT {id_col}, {words} AS _w FROM {table} WHERE len({words}) >= {k}), "
+        f"unnest(generate_series(1, len(_w) - {k - 1})) AS _t(pos))"
+    )
+
+
 def shingles_sql(expr: str, k: int = 3) -> str:
     words = f"string_split({expr}, ' ')"
     return (

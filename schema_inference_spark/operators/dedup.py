@@ -350,3 +350,74 @@ def simhash_near_pairs(
         "id_b",
         hamming_distance_expr(F.col("sh_a"), F.col("sh_b"), n_bits).alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def duplicated_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 50
+) -> DataFrame:
+    """Exact substring dedup at k-token granularity — the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" pass
+    re-expressed relationally (the reference engine has no analog; this is
+    a training-pipeline requirement). A suffix array is the single-node
+    tool; the Spark-native equivalent marks every k-word shingle whose hash
+    occurs MORE THAN ONCE in the corpus (across or within documents — Lee
+    et al. remove within-doc repeats too) and merges runs of consecutive
+    duplicated positions into maximal word spans per document.
+
+    Returns (id_col, span_start, span_end, n_words, n_shingles) with
+    1-based inclusive word indices; a span covers words
+    [span_start, span_end] = [first dup pos, last dup pos + k - 1].
+
+    Scale shape: one codegen explode (positions + 60-bit md5 shingle
+    hashes), one partial-agg groupBy(h) for global occurrence counts, one
+    left-semi shuffle join back on h (AQE handles boilerplate-shingle
+    skew), and one per-document window for the gaps-and-islands merge —
+    every stage is a standard shuffle on a high-cardinality key. No
+    driver-side state; output is strictly smaller than the shingle set."""
+    from pyspark.sql import Window
+
+    from schema_inference_spark.functions.hashing import exploded_shingle_positions
+
+    sh = exploded_shingle_positions(df, id_col, F.col(text_col), k)
+    dup = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ")).where(F.col("n_occ") > 1)
+    pos = sh.join(dup.select("h"), "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    island = (F.col("pos") - F.row_number().over(w)).alias("_g")
+    return (
+        pos.select(id_col, "pos", island)
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).cast("bigint").alias("n_words"),
+            "n_shingles",
+        )
+    )
+
+
+def duplicated_spans_sql(
+    table: str = "documents", text_expr: str = "text", id_col: str = "doc_id", k: int = 50
+) -> str:
+    """DuckDB mirror of :func:`duplicated_spans` (same hash, same islands)."""
+    from schema_inference_spark.functions.hashing import shingle_positions_sql
+
+    sh = shingle_positions_sql(table, id_col, text_expr, k)
+    return f"""
+WITH sh AS (SELECT * FROM {sh}),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+pos AS (SELECT s.{id_col}, s.pos FROM sh s JOIN dup USING (h)),
+isl AS (SELECT {id_col}, pos,
+               pos - row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS g
+        FROM pos)
+SELECT {id_col}, min(pos)::BIGINT AS span_start,
+       (max(pos) + {k - 1})::BIGINT AS span_end,
+       (max(pos) + {k - 1} - min(pos) + 1)::BIGINT AS n_words,
+       count(*)::BIGINT AS n_shingles
+FROM isl GROUP BY {id_col}, g
+"""

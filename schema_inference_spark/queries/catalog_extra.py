@@ -408,6 +408,23 @@ FROM pd GROUP BY source ORDER BY source
 """
 
 
+def doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. style) at 12-token granularity over
+    the documents table: maximal duplicated word spans per document.
+    Production default is k=50; 12 keeps the synthetic corpus discriminating
+    (its planted near-dups share runs shorter than 50 words)."""
+    from schema_inference_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "text", "doc_id", k=12).orderBy("doc_id", "span_start")
+
+
+def _duplicated_spans_sql() -> str:
+    from schema_inference_spark.operators.dedup import duplicated_spans_sql
+
+    return duplicated_spans_sql(k=12) + " ORDER BY doc_id, span_start"
+
+
 def extra_specs() -> list[QuerySpec]:
     from schema_inference_spark.queries.catalog_text import (
         MINHASH_SQL,
@@ -418,6 +435,9 @@ def extra_specs() -> list[QuerySpec]:
         QuerySpec("doc_minhash_signatures", doc_minhash_signatures, MINHASH_SQL,
                   "MinHash signatures (driver slot freed r3; chain-covered by "
                   "doc_lsh_candidates/doc_verified_near_dups)"),
+        QuerySpec("doc_duplicated_spans", doc_duplicated_spans, _duplicated_spans_sql(),
+                  "exact substring dedup: maximal duplicated k-token spans "
+                  "(Lee et al. pass, VERDICT r3 #7)"),
         QuerySpec("doc_split_counts", doc_split_counts, _split_sql(),
                   "deterministic train/val/test split"),
         QuerySpec("doc_hash_sample", doc_hash_sample, SAMPLE_SQL,

@@ -460,3 +460,32 @@ def test_ivf_index_build_query_lifecycle(spark, sf_dir):
 
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [centroid_id" in plan or "centroid_id#" in plan.split("PartitionFilters")[1][:80], plan
+
+
+def test_duplicated_spans_planted(spark):
+    """Exact substring dedup (VERDICT r3 #7): a 15-word run shared across
+    two docs and a 12-word phrase repeated WITHIN one doc must both surface
+    as maximal spans with exact 1-based word boundaries; unique docs and
+    sub-k docs must not."""
+    from schema_inference_spark.operators.dedup import duplicated_spans
+
+    shared = [f"s{i}" for i in range(15)]
+    rep = [f"r{i}" for i in range(12)]
+    rows = [
+        ("d1", " ".join([f"a{i}" for i in range(5)] + shared + [f"b{i}" for i in range(10)])),
+        ("d2", " ".join([f"c{i}" for i in range(10)] + shared + [f"d{i}" for i in range(5)])),
+        ("d3", " ".join(f"e{i}" for i in range(25))),
+        ("d4", " ".join(rep + [f"f{i}" for i in range(6)] + rep)),
+        ("d5", "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_words"], r["n_shingles"])
+        for r in duplicated_spans(df, "text", "doc_id", k=10).collect()
+    )
+    assert got == [
+        ("d1", 6, 20, 15, 6),   # shared run at words 6..20: 6 k=10 shingles
+        ("d2", 11, 25, 15, 6),
+        ("d4", 1, 12, 12, 3),   # within-doc repeat, both occurrences
+        ("d4", 19, 30, 12, 3),
+    ]
