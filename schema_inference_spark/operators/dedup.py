@@ -270,9 +270,16 @@ def duplicate_components(
         )
         root = smins.select(F.col("m").alias("lo"), "hi")
         new_edges = attach.unionByName(root).distinct().localCheckpoint()
+        # exact set-equality in ONE job (both frames are distinct, so the
+        # two-sided exceptAll union is empty iff the sets are equal);
+        # every convergence probe is driver-serial latency in an
+        # iterative operator, so probes are the thing to minimize
         converged = (
-            new_edges.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(new_edges).limit(1).count() == 0
+            new_edges.exceptAll(edges)
+            .unionAll(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
+            == 0
         )
         edges = new_edges
     if not converged:

@@ -6,20 +6,32 @@ into bins whose token totals stay under ``max_tokens`` (greedy first-fit
 over size-sorted docs — the standard practical packer).
 
 Scale shape: global first-fit is inherently sequential, so the operator
-runs PARTITION-LOCAL first-fit (the industry-standard compromise):
+runs GROUP-LOCAL first-fit (the industry-standard compromise):
 
-1. docs are range-partitioned by token count (so each partition sees a
-   similar size mix and long docs cluster together),
-2. each partition packs its own docs with an Arrow-batched
-   ``mapInPandas`` (pure numpy/python over one partition, no state
-   across partitions),
+1. docs are assigned to ``n_groups`` pack groups by a DATA-defined key,
+   ``grp = pmod(xxhash64(id), n_groups)`` — each group receives a
+   statistically representative size mix, and membership is a pure
+   function of the id, never of the physical layout,
+2. each group packs its own docs with an Arrow-batched
+   ``groupBy(grp).applyInPandas`` (pure numpy/python over one group,
+   no state across groups),
 3. bin ids are globally unique by construction:
-   ``bin_id = partition_id * 2^40 + local_bin``.
+   ``bin_id = grp * 2^40 + local_bin``.
 
-Per-partition packing loses a little density vs a global packer (bounded
-by one underfull bin per partition) but is embarrassingly parallel and
-deterministic: the range partitioning + in-partition (tokens desc, id)
-sort fixes the order regardless of input layout.
+Per-group packing loses a little density vs a global packer (bounded by
+one underfull bin per group) but is embarrassingly parallel and
+deterministic: hash group membership + the in-group (tokens desc, id)
+sort fix the assignment regardless of input layout or parallelism. Two
+layout-dependent designs were rejected here, both found the hard way:
+range partitioning by token count (its boundaries come from reservoir
+*sampling* of the physical partitions), and packing per PHYSICAL
+partition after ``repartition(n, id)`` — Catalyst elides that exchange
+whenever the input is already hash-partitioned on the id (any upstream
+join/agg on it) and AQE then coalesces the surviving shuffle reads to a
+parallelism-dependent partition count, so the "16 partitions" silently
+became 2 at local[1] and 5 at local[4]. ``groupBy().applyInPandas``
+states the co-location requirement semantically, which leaves Catalyst
+free to plan the exchange however it likes without touching the answer.
 
 Oversized docs (token_count > max_tokens) get a bin of their own and
 ``truncated=true`` — the caller decides whether to split or drop.
@@ -27,8 +39,7 @@ Oversized docs (token_count > max_tokens) get a bin of their own and
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -121,55 +132,106 @@ def pack_documents(
     n_partitions: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, bin_id, truncated) — every doc assigned to a bin whose
-    total token count is <= max_tokens (except single oversized docs)."""
+    total token count is <= max_tokens (except single oversized docs).
+
+    ``n_partitions`` is the number of independent pack GROUPS (kept under
+    its historical name); size it so one group's (id, tokens) pairs fit a
+    single task's memory — 16 bytes/doc, so even 10^8 docs/group is
+    1.6 GB and at 10^12 docs ~10^5 groups keeps tasks at ~10^7 rows.
+    """
     # keep the caller's id type verbatim: a plain cast('long') on a string
     # doc_id would throw CAST_INVALID_INPUT under ANSI (ADVICE r2); the id
-    # only rides along and string ids sort/partition fine
+    # only rides along and string ids sort/group fine
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
         f"{id_col} {id_type}, {token_col} long, bin_id long, truncated boolean"
     )
+    if n_partitions is None:
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     narrow = df.select(
         F.col(id_col),
         F.col(token_col).cast("long").alias(token_col),
+        # DATA-defined group key: xxhash64 of the id string, NOT the
+        # physical partition id (see module docstring for the two
+        # layout-dependent designs this replaces)
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_partitions))
+        .alias("_grp"),
     )
-    if n_partitions is not None:
-        narrow = narrow.repartitionByRange(n_partitions, token_col, id_col)
-    else:
-        narrow = narrow.repartitionByRange(token_col, id_col)
 
-    def pack_partition(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        chunks = list(pdfs)
-        if not chunks:
-            return
-        rows = pd.concat(chunks)
-        if rows.empty:
-            return
-        rows = rows.sort_values([token_col, id_col], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per local bin
-        assignment, truncated = [], []
-        for t in rows[token_col].tolist():
-            if t > max_tokens:
-                bins.append(0)
-                assignment.append(len(bins) - 1)
-                truncated.append(True)
-                continue
-            # first-fit over open bins
-            for i, cap in enumerate(bins):
-                if cap >= t:
-                    bins[i] = cap - t
-                    assignment.append(i)
-                    break
-            else:
-                bins.append(max_tokens - t)
-                assignment.append(len(bins) - 1)
-            truncated.append(False)
-        rows = rows.assign(
-            bin_id=[pid * _PART_SHIFT + b for b in assignment], truncated=truncated
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pdf.iloc[0:0][[id_col, token_col]].assign(
+                bin_id=pd.Series(dtype="int64"),
+                truncated=pd.Series(dtype="bool"),
+            )
+        grp = int(pdf["_grp"].iloc[0])
+        rows = pdf.sort_values([token_col, id_col], ascending=[False, True])
+        assignment, truncated = _ffd_assign(
+            rows[token_col].to_numpy(dtype="int64"), max_tokens
         )
-        yield rows[[id_col, token_col, "bin_id", "truncated"]]
+        rows = rows.assign(
+            bin_id=grp * _PART_SHIFT + assignment, truncated=truncated
+        )
+        return rows[[id_col, token_col, "bin_id", "truncated"]]
 
-    return narrow.mapInPandas(pack_partition, schema=out_schema)
+    return narrow.groupBy("_grp").applyInPandas(pack_group, schema=out_schema)
+
+
+def _ffd_assign(toks: "np.ndarray", max_tokens: int) -> tuple:
+    """Vectorized first-fit-decreasing over a NON-INCREASING token array.
+
+    Bit-identical to the textbook per-doc loop ("scan open bins in order,
+    place in the first whose remaining capacity fits, else open a new
+    one") but O(distinct_sizes x bins) instead of O(docs x bins): within a
+    run of equal size t, a bin that fails once fails for the whole run
+    (capacities only shrink), so the scan pointer never moves backward —
+    each open bin absorbs exactly floor(cap/t) docs of the run in bin
+    order, then new bins absorb floor(max_tokens/t) each. The naive loop
+    was the curation bench's bottleneck: ~1.6e9 interpreted steps for
+    950k equal-sized docs (every full bin re-scanned per doc) vs ~30
+    numpy passes here. tests/test_packing.py cross-checks against an
+    independent per-doc reference on adversarial size mixes.
+
+    Returns (assignment, truncated): local bin index and oversize flag
+    per doc, in input order.
+    """
+    n = len(toks)
+    assignment = np.empty(n, dtype=np.int64)
+    truncated = np.zeros(n, dtype=bool)
+    caps = np.empty(0, dtype=np.int64)  # remaining capacity, bin order
+    run_starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+    run_ends = np.r_[run_starts[1:], n]
+    for s, e in zip(run_starts, run_ends):
+        t, k, nb = int(toks[s]), e - s, len(caps)
+        if t > max_tokens:
+            # oversized: a dedicated zero-capacity bin each, flagged
+            assignment[s:e] = nb + np.arange(k)
+            truncated[s:e] = True
+            caps = np.concatenate([caps, np.zeros(k, dtype=np.int64)])
+            continue
+        if t == 0:
+            # zero-token docs all land in the first bin (any cap >= 0)
+            if nb == 0:
+                caps = np.array([max_tokens], dtype=np.int64)
+            assignment[s:e] = 0
+            continue
+        used = 0
+        if nb:
+            fit = caps // t  # docs each open bin absorbs from this run
+            cum = np.cumsum(fit)
+            take = np.minimum(fit, np.maximum(k - (cum - fit), 0))
+            used = int(take.sum())
+            nz = np.flatnonzero(take)
+            assignment[s : s + used] = np.repeat(nz, take[nz])
+            caps[nz] -= take[nz] * t
+        rem = k - used
+        if rem > 0:
+            per = max_tokens // t  # >= 1 since t <= max_tokens
+            n_new = -(-rem // per)
+            assignment[s + used : e] = nb + np.arange(rem) // per
+            new_caps = np.full(n_new, max_tokens - per * t, dtype=np.int64)
+            new_caps[-1] = max_tokens - (rem - (n_new - 1) * per) * t
+            caps = np.concatenate([caps, new_caps])
+    return assignment, truncated

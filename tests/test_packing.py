@@ -55,6 +55,20 @@ def test_packing_is_deterministic_and_dense(spark, sf_dir):
     )
     assert a == b  # layout-independent assignment
 
+    # the r4 failure shape: input ALREADY hash-partitioned on the id (any
+    # upstream join/agg on it does this). The old physical-partition packer
+    # let Catalyst elide its repartition exchange and AQE then coalesced the
+    # surviving shuffle reads to a parallelism-dependent count — bins
+    # changed between local[1] and local[4]. Group membership must be a
+    # pure function of the id, whatever the incoming partitioning.
+    c = sorted(
+        (r["doc_id"], r["bin_id"])
+        for r in pack_documents(
+            docs.repartition(3, "doc_id"), max_tokens=512, n_partitions=4
+        ).collect()
+    )
+    assert a == c  # immune to pre-existing hash partitioning on the id
+
     # density: used bins should be mostly full (first-fit over desc sizes).
     stats = (
         packed.where(~F.col("truncated"))
@@ -66,6 +80,50 @@ def test_packing_is_deterministic_and_dense(spark, sf_dir):
     total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
     lower_bound_bins = total_tokens / 512
     assert stats["n_bins"] <= 1.3 * lower_bound_bins + 4  # near-optimal bin count
+
+
+def test_ffd_kernel_matches_per_doc_reference():
+    """The vectorized run-based FFD kernel must be BIT-identical to the
+    textbook per-doc first-fit loop (independent implementation here) on
+    adversarial size mixes: long equal-size runs, oversized docs, zeros,
+    sizes that exactly fill bins, and random mixes."""
+    import numpy as np
+
+    from schema_inference_spark.operators.packing import _ffd_assign
+
+    def reference(toks, max_tokens):
+        bins, assignment, truncated = [], [], []
+        for t in toks:
+            if t > max_tokens:
+                bins.append(0)
+                assignment.append(len(bins) - 1)
+                truncated.append(True)
+                continue
+            for i, cap in enumerate(bins):
+                if cap >= t:
+                    bins[i] = cap - t
+                    assignment.append(i)
+                    break
+            else:
+                bins.append(max_tokens - t)
+                assignment.append(len(bins) - 1)
+            truncated.append(False)
+        return assignment, truncated
+
+    rng = np.random.RandomState(7)
+    cases = [
+        np.full(500, 30),                          # the all-equal curation shape
+        np.array([700, 600, 512, 512, 30, 30, 0, 0]),  # oversized + exact + zeros
+        np.zeros(5, dtype=int),                    # zeros only, no open bin
+        np.sort(rng.randint(0, 600, size=2000))[::-1],  # random with oversized
+        np.sort(rng.choice([512, 256, 171, 128, 1], size=3000))[::-1],  # divisor sizes
+    ]
+    for toks in cases:
+        toks = np.ascontiguousarray(np.sort(np.asarray(toks, dtype=np.int64))[::-1])
+        got_a, got_t = _ffd_assign(toks, 512)
+        exp_a, exp_t = reference(toks.tolist(), 512)
+        assert got_a.tolist() == exp_a, toks[:20]
+        assert got_t.tolist() == exp_t, toks[:20]
 
 
 def test_packing_keeps_string_ids(spark):
