@@ -125,6 +125,13 @@ def test_ffd_kernel_matches_per_doc_reference():
         assert got_a.tolist() == exp_a, toks[:20]
         assert got_t.tolist() == exp_t, toks[:20]
 
+    # negative token counts are invalid input and must fail LOUDLY (a
+    # negative size would grow bin capacity under first-fit arithmetic)
+    import pytest
+
+    with pytest.raises(ValueError, match="negative token counts"):
+        _ffd_assign(np.array([30, 10, -1], dtype=np.int64), 512)
+
 
 def test_packing_keeps_string_ids(spark):
     """ADVICE r2: a non-numeric string doc_id must pack fine under ANSI
