@@ -81,3 +81,50 @@ def test_full_curation_pipeline(spark, sf_dir):
     assert sorted(r["doc_id"] for r in drop.collect()) == sorted(
         r["doc_id"] for r in drop2.collect()
     )
+
+
+def test_embedding_curation_chain(spark):
+    """The MULTIMODAL sibling of the text chain: banded-SRP embedding
+    near-dup pairs -> connected components -> leakage-safe split. Plants
+    three clusters of near-identical vectors (cosine > 0.99) plus
+    background noise; the chain must group each cluster, keep exactly one
+    representative per cluster, and never separate a cluster across
+    train/val/test (eval contamination)."""
+    import numpy as np
+
+    from schema_inference_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    rows, clusters = [], {0: [0, 1, 2], 1: [10, 11], 2: [20, 21, 22, 23]}
+    base = {c: rng.randn(16) for c in clusters}
+    for c, ids in clusters.items():
+        for i in ids:
+            v = base[c] + 0.001 * rng.randn(16)
+            rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    for i in range(30, 60):  # background: independent random directions
+        v = rng.randn(16)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = embedding_near_dup_pairs(df, threshold=0.98)
+    comps = duplicate_components(pairs, "vec_id")
+    got = {}
+    for r in comps.collect():
+        got.setdefault(r["component"], set()).add(r["vec_id"])
+    assert {frozenset(v) for v in got.values()} == {
+        frozenset(ids) for ids in clusters.values()
+    }
+
+    # representative = min id per cluster; split must route whole clusters
+    drop = comps.where(F.col("vec_id") != F.col("component"))
+    assert drop.count() == sum(len(v) - 1 for v in clusters.values())
+    split_df = leakage_safe_split(
+        df.withColumnRenamed("vec_id", "doc_id"),
+        pairs.selectExpr("id_a", "id_b"),
+        "doc_id",
+    )
+    by_cluster = {
+        c: {r["split"] for r in split_df.where(F.col("doc_id").isin(ids)).collect()}
+        for c, ids in clusters.items()
+    }
+    assert all(len(s) == 1 for s in by_cluster.values()), by_cluster
