@@ -425,6 +425,94 @@ def _duplicated_spans_sql() -> str:
     return duplicated_spans_sql(k=12) + " ORDER BY doc_id, span_start"
 
 
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (the C4/Gopher/FineWeb-style curation step): per-source
+    detection counts + a numeric redaction checksum. The synthetic corpus
+    carries no PII, so the query PLANTS it deterministically from doc_id
+    (identical expressions in both engines) — every 7th doc an email, every
+    11th an IPv4, every 13th an E.164-ish phone — then scans with the
+    codegen regexp_count/regexp_replace exprs from functions/pii.py.
+    ``redacted_delta`` (summed length change under redaction) pins the
+    REDACTED TEXT itself cross-engine, not just the match counts."""
+    from schema_inference_spark.functions.pii import pii_count_expr, redact_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact u"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+                F.lit("."),
+                ((did * 13) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call +1415555"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scanned = docs.select(
+        "source",
+        pii_count_expr(aug, "email").alias("_e"),
+        pii_count_expr(aug, "ipv4").alias("_i"),
+        pii_count_expr(aug, "phone").alias("_p"),
+        (F.length(aug) - F.length(redact_expr(aug))).alias("_d"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_e") + F.col("_i") + F.col("_p") > 0).cast("long")).alias(
+                "docs_with_pii"
+            ),
+            F.sum("_e").alias("n_emails"),
+            F.sum("_i").alias("n_ips"),
+            F.sum("_p").alias("n_phones"),
+            F.sum("_d").alias("redacted_delta"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pii_sql() -> str:
+    from schema_inference_spark.functions.pii import pii_count_sql, redact_sql
+
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || doc_id::VARCHAR || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || (doc_id % 256)::VARCHAR"
+        " || '.' || ((doc_id * 7) % 256)::VARCHAR || '.' || ((doc_id * 13) % 256)::VARCHAR ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' call +1415555' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
+    )
+    return f"""
+WITH scanned AS (
+  SELECT source,
+         {pii_count_sql(aug, 'email')} AS e,
+         {pii_count_sql(aug, 'ipv4')} AS i,
+         {pii_count_sql(aug, 'phone')} AS p,
+         length({aug}) - length({redact_sql(aug)}) AS d
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+       sum(e)::BIGINT AS n_emails, sum(i)::BIGINT AS n_ips,
+       sum(p)::BIGINT AS n_phones, sum(d)::BIGINT AS redacted_delta
+FROM scanned GROUP BY source ORDER BY source
+"""
+
+
 def extra_specs() -> list[QuerySpec]:
     from schema_inference_spark.queries.catalog_text import (
         MINHASH_SQL,
@@ -455,4 +543,7 @@ def extra_specs() -> list[QuerySpec]:
                   "overlapping token-window chunking"),
         QuerySpec("doc_repetition_signals", doc_repetition_signals, REPETITION_SQL,
                   "Gopher-style repetition quality filters per source"),
+        QuerySpec("doc_pii_scan", doc_pii_scan, _pii_sql(),
+                  "PII detect + redact scrub pass (emails/IPs/phones), "
+                  "redaction pinned via length-delta checksum"),
     ]

@@ -56,3 +56,41 @@ def test_fingerprint_stability_and_sensitivity(spark):
     assert rows[0] == rows[1]  # deterministic
     # appending text can only add shingles -> fingerprint (min-hash) <= original
     assert rows[2] <= rows[0]
+
+
+def test_pii_redaction_semantics(spark):
+    """PII scrub invariants: planted PII is replaced with markers, benign
+    look-alikes survive untouched, redaction is idempotent (a second pass
+    is a no-op — markers never re-match), and counts agree with the number
+    of replacements."""
+    from pyspark.sql import functions as F
+
+    from schema_inference_spark.functions.pii import (
+        PII_PATTERNS,
+        pii_count_expr,
+        redact_expr,
+    )
+
+    rows = [
+        # (text, expected_redacted, email, ipv4, phone)
+        ("write jo.doe+x@ex-ample.co.uk today", "write <EMAIL> today", 1, 0, 0),
+        ("gateway 192.168.1.250 up", "gateway <IP> up", 0, 1, 0),
+        ("call +1 (415) 555-0134 now", "call <PHONE> now", 0, 0, 1),
+        ("root@10.0.0.1 is not an email", "root@<IP> is not an email", 0, 1, 0),
+        # benign look-alikes: version strings, prices, TLD-less at-signs
+        ("v1.2.3 costs 3.50 via a@b", "v1.2.3 costs 3.50 via a@b", 0, 0, 0),
+        ("", "", 0, 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in rows], "t string")
+    got = df.select(
+        "t",
+        redact_expr(F.col("t")).alias("red"),
+        redact_expr(redact_expr(F.col("t"))).alias("red2"),
+        *(pii_count_expr(F.col("t"), k).alias(k) for k, _, _ in PII_PATTERNS),
+    ).collect()
+    by_text = {r["t"]: r for r in got}
+    for text, expected, e, i, p in rows:
+        r = by_text[text]
+        assert r["red"] == expected, (text, r["red"])
+        assert r["red2"] == r["red"], "redaction must be idempotent"
+        assert (r["email"], r["ipv4"], r["phone"]) == (e, i, p), text
