@@ -157,3 +157,33 @@ def fingerprint_sql(expr: str, k: int = 4) -> str:
     from schema_inference_spark.functions.hashing import minhash_sql
 
     return minhash_sql(expr, seed=997, k=k)
+
+
+# --- URLs / domains (r4) ----------------------------------------------------
+#
+# Domain-level statistics are the other standard curation signal next to
+# PII: per-domain doc counts and URL density drive source filtering (the
+# crawl-pipeline norm). Cross-engine regex discipline as functions/pii.py:
+# Java-regex/RE2-identical syntax only.
+
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+_DOMAIN_PATTERN = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_count_expr(col: Column) -> Column:
+    """Number of http(s) URLs in the text (codegen regexp_count)."""
+    return F.regexp_count(col, F.lit(URL_PATTERN))
+
+
+def url_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{URL_PATTERN}'))"
+
+
+def first_domain_expr(col: Column) -> Column:
+    """Host of the FIRST URL in the text, '' if none (regexp_extract
+    returns '' on no-match in both engines)."""
+    return F.regexp_extract(col, _DOMAIN_PATTERN, 1)
+
+
+def first_domain_sql(expr: str) -> str:
+    return f"regexp_extract({expr}, '{_DOMAIN_PATTERN}', 1)"

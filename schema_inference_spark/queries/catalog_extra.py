@@ -513,6 +513,76 @@ FROM scanned GROUP BY source ORDER BY source
 """
 
 
+def doc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL statistics — the source-filtering signal next to the
+    PII scrub (crawl pipelines rank/filter by domain). URLs are PLANTED
+    deterministically from doc_id (identical expressions both engines,
+    same pattern as doc_pii_scan): every 5th doc links one of 7 rotating
+    .org sites, every 9th an image CDN; docs are grouped by the domain of
+    their FIRST URL ('' = no URL)."""
+    from schema_inference_spark.functions.text import (
+        first_domain_expr,
+        url_count_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" see https://site"),
+                (did % 7).cast("string"),
+                F.lit(".example.org/p/"),
+                did.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0,
+            F.concat(
+                F.lit(" img http://cdn.example.net/i"),
+                did.cast("string"),
+                F.lit(".png"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    per_doc = docs.select(
+        first_domain_expr(aug).alias("domain"),
+        url_count_expr(aug).alias("_u"),
+    )
+    return (
+        per_doc.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_u").alias("n_urls"),
+            F.sum((F.col("_u") >= 2).cast("long")).alias("multi_url_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
+def _domain_sql() -> str:
+    from schema_inference_spark.functions.text import first_domain_sql, url_count_sql
+
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' see https://site' || (doc_id % 7)::VARCHAR"
+        " || '.example.org/p/' || doc_id::VARCHAR ELSE '' END"
+        " || CASE WHEN doc_id % 9 = 0 THEN ' img http://cdn.example.net/i'"
+        " || doc_id::VARCHAR || '.png' ELSE '' END"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT {first_domain_sql(aug)} AS domain, {url_count_sql(aug)} AS u
+  FROM documents
+)
+SELECT domain, count(*)::BIGINT AS n_docs, sum(u)::BIGINT AS n_urls,
+       sum(CASE WHEN u >= 2 THEN 1 ELSE 0 END)::BIGINT AS multi_url_docs
+FROM per_doc GROUP BY domain ORDER BY domain
+"""
+
+
 def extra_specs() -> list[QuerySpec]:
     from schema_inference_spark.queries.catalog_text import (
         MINHASH_SQL,
@@ -546,4 +616,6 @@ def extra_specs() -> list[QuerySpec]:
         QuerySpec("doc_pii_scan", doc_pii_scan, _pii_sql(),
                   "PII detect + redact scrub pass (emails/IPs/phones), "
                   "redaction pinned via length-delta checksum"),
+        QuerySpec("doc_domain_stats", doc_domain_stats, _domain_sql(),
+                  "per-domain URL stats (source-filtering signal)"),
     ]
