@@ -198,7 +198,9 @@ def _ffd_assign(toks: "np.ndarray", max_tokens: int) -> tuple:
     per doc, in input order.
     """
     n = len(toks)
-    if n and toks[-1] < 0:  # sorted non-increasing, so the min is last
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+    if toks[-1] < 0:  # sorted non-increasing, so the min is last
         raise ValueError(
             "pack_documents: negative token counts are invalid input "
             "(a negative size would grow bin capacity); fix the counter upstream"

@@ -133,6 +133,50 @@ def test_ffd_kernel_matches_per_doc_reference():
         _ffd_assign(np.array([30, 10, -1], dtype=np.int64), 512)
 
 
+def test_ffd_kernel_fuzz_vs_reference():
+    """Property fuzz of the vectorized FFD kernel against the independent
+    per-doc loop: arbitrary size mixes (incl. zeros, oversized, heavy
+    ties) and budgets must agree EXACTLY."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from schema_inference_spark.operators.packing import _ffd_assign
+
+    def reference(toks, max_tokens):
+        bins, assignment, truncated = [], [], []
+        for t in toks:
+            if t > max_tokens:
+                bins.append(0)
+                assignment.append(len(bins) - 1)
+                truncated.append(True)
+                continue
+            for i, cap in enumerate(bins):
+                if cap >= t:
+                    bins[i] = cap - t
+                    assignment.append(i)
+                    break
+            else:
+                bins.append(max_tokens - t)
+                assignment.append(len(bins) - 1)
+            truncated.append(False)
+        return assignment, truncated
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=80), max_size=200),
+        budget=st.integers(min_value=1, max_value=64),
+    )
+    def check(toks, budget):
+        arr = np.ascontiguousarray(np.sort(np.asarray(toks, dtype=np.int64))[::-1])
+        got_a, got_t = _ffd_assign(arr, budget)
+        exp_a, exp_t = reference(arr.tolist(), budget)
+        assert got_a.tolist() == exp_a
+        assert got_t.tolist() == exp_t
+
+    check()
+
+
 def test_packing_keeps_string_ids(spark):
     """ADVICE r2: a non-numeric string doc_id must pack fine under ANSI
     (the old cast('long') threw CAST_INVALID_INPUT) and come back verbatim."""
