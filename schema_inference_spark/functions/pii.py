@@ -13,10 +13,22 @@ non-capturing groups. Heuristic by design: an email-shaped token is
 redacted whether or not it is deliverable; that is the curation norm
 (favor recall, the replacement token is cheap).
 
-Redaction order is FIXED (email -> ipv4 -> phone) and identical in both
-engines: the email pattern would otherwise match the user-part of
-nothing once '<EMAIL>' is in place, and the phone pattern requires a
-leading '+' so it can never eat a redaction marker or an IP.
+Redaction order is FIXED (email -> ipv4 -> phone -> phone_us) and
+identical in both engines: the email pattern would otherwise match the
+user-part of nothing once '<EMAIL>' is in place, the international
+phone pattern requires a leading '+' so it can never eat a redaction
+marker or an IP, and the US-format pattern runs AFTER the IP pass so a
+dotted IP is already '<IP>' before separator-delimited digit groups are
+considered (VERDICT r4: the '+'-only rule missed most phone numbers in
+English web text — '(555) 123-4567' / '555-123-4567' / '555.123.4567').
+phone_us demands a 4-digit final group plus explicit separators, so IP
+octets (max 3 digits), ZIP+4 ('12345-6789' has no 3-digit lead-in at a
+separator), dates and bare 10-digit runs never match.
+
+Detection counts are per-pattern over the RAW text and may overlap for
+a number matched by both phone forms (e.g. '+1 (555) 123-4567'); the
+redacted TEXT is always replaced exactly once because redaction is
+sequential.
 """
 
 from __future__ import annotations
@@ -29,6 +41,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+    # US formats without '+': (555) 123-4567, 555-123-4567, 555.123.4567,
+    # 555 123 4567. RE2-safe (no lookbehind); literal ' ?' not '\s?' (Java
+    # \s includes \x0B, RE2's does not — the one whitespace-class divergence)
+    ("phone_us", r"(?:\([0-9]{3}\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
 )
 
 

@@ -432,6 +432,9 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical expressions in both engines) — every 7th doc an email, every
     11th an IPv4, every 13th an E.164-ish phone — then scans with the
     codegen regexp_count/regexp_replace exprs from functions/pii.py.
+    Every 17th doc additionally gets a separator-delimited US-format
+    phone ('(415) 555-NNNN') exercising the r5 ``phone_us`` pattern
+    (VERDICT r4: the '+'-anchored rule under-recalled English web text).
     ``redacted_delta`` (summed length change under redaction) pins the
     REDACTED TEXT itself cross-engine, not just the match counts."""
     from schema_inference_spark.functions.pii import pii_count_expr, redact_expr
@@ -462,24 +465,33 @@ def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lpad((did % 10000).cast("string"), 4, "0"),
             ),
         ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 0,
+            F.concat(
+                F.lit(" tel (415) 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
     )
     scanned = docs.select(
         "source",
         pii_count_expr(aug, "email").alias("_e"),
         pii_count_expr(aug, "ipv4").alias("_i"),
         pii_count_expr(aug, "phone").alias("_p"),
+        pii_count_expr(aug, "phone_us").alias("_pu"),
         (F.length(aug) - F.length(redact_expr(aug))).alias("_d"),
     )
     return (
         scanned.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("_e") + F.col("_i") + F.col("_p") > 0).cast("long")).alias(
-                "docs_with_pii"
-            ),
+            F.sum(
+                (F.col("_e") + F.col("_i") + F.col("_p") + F.col("_pu") > 0).cast("long")
+            ).alias("docs_with_pii"),
             F.sum("_e").alias("n_emails"),
             F.sum("_i").alias("n_ips"),
             F.sum("_p").alias("n_phones"),
+            F.sum("_pu").alias("n_us_phones"),
             F.sum("_d").alias("redacted_delta"),
         )
         .orderBy("source")
@@ -495,6 +507,7 @@ def _pii_sql() -> str:
         " || CASE WHEN doc_id % 11 = 0 THEN ' host 10.' || (doc_id % 256)::VARCHAR"
         " || '.' || ((doc_id * 7) % 256)::VARCHAR || '.' || ((doc_id * 13) % 256)::VARCHAR ELSE '' END"
         " || CASE WHEN doc_id % 13 = 0 THEN ' call +1415555' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 17 = 0 THEN ' tel (415) 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
     )
     return f"""
 WITH scanned AS (
@@ -502,13 +515,15 @@ WITH scanned AS (
          {pii_count_sql(aug, 'email')} AS e,
          {pii_count_sql(aug, 'ipv4')} AS i,
          {pii_count_sql(aug, 'phone')} AS p,
+         {pii_count_sql(aug, 'phone_us')} AS pu,
          length({aug}) - length({redact_sql(aug)}) AS d
   FROM documents
 )
 SELECT source, count(*)::BIGINT AS n_docs,
-       sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
+       sum(CASE WHEN e + i + p + pu > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii,
        sum(e)::BIGINT AS n_emails, sum(i)::BIGINT AS n_ips,
-       sum(p)::BIGINT AS n_phones, sum(d)::BIGINT AS redacted_delta
+       sum(p)::BIGINT AS n_phones, sum(pu)::BIGINT AS n_us_phones,
+       sum(d)::BIGINT AS redacted_delta
 FROM scanned GROUP BY source ORDER BY source
 """
 
