@@ -66,7 +66,10 @@ def run_once():
     cached.append(drop.persist())
     n_dropped = drop.count()  # tiny iterative lane over the cached pairs
     kept = docs.join(drop, "doc_id", "left_anti")
-    split_docs = leakage_safe_split(kept, cands, "doc_id")
+    # route splits by VERIFIED pairs — stage-for-stage the curate_job
+    # pipeline (ADVICE r4: routing by raw candidates made the benchmarked
+    # pipeline differ from the shipped one for pairs failing verification)
+    split_docs = leakage_safe_split(kept, pairs, "doc_id")
     narrow = split_docs.select(
         "doc_id", "split",
         TX.token_count_expr(F.col("text")).cast("long").alias("n_tokens"),

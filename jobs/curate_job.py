@@ -10,15 +10,30 @@ and the fifth scaling axis (bench_curation_scaling.py, 0.96 N-vs-4N).
         [--id-col doc_id] [--text-col text] \
         [--n-perm 4] [--band-size 2] [--threshold 0.6] \
         [--max-tokens 2048] [--pack-groups 0 (0 = shuffle.partitions)] \
-        [--redact-pii] [--resume]
+        [--redact-pii] [--tokenizer ws|bpe_ish|<registered>] \
+        [--against <prior curation output dir>] [--resume]
 
 Outputs under --output (each stage is a parquet table + _SUCCESS marker):
+  cross_batch/ (only with --against) new-batch docs duplicating the prior
+               corpus: (id_new, id_prior, jaccard, kind exact|near)
   pairs/       verified near-dup pairs (id_a, id_b, jaccard)
   components/  (id, component) dedup groups over the pairs
   corpus/      deduped docs + 'split' column (+ PII-redacted text if
                --redact-pii), the training-ready table
+  signatures/  (id, content_hash, mh0..mh{n_perm-1}) of the kept corpus —
+               the persisted table a LATER batch dedups --against
   packed/      (id, n_tokens, bin_id, truncated) token-budget bins
   metrics.json per-stage row counts + wall seconds
+
+Cross-snapshot incremental dedup (r5, VERDICT r4 #1): production crawls
+are rolling, so --against <prior output> first drops new docs that
+duplicate the ALREADY-CURATED corpus — exact via content-hash semi-join
+against the prior signatures/ table, near via band-bucket join of the new
+batch's MinHash signatures against it (prior TEXT is read only for
+candidate members during Jaccard verification). The prior run's recorded
+n_perm/band_size must match (band buckets are scheme-dependent). This is
+the reference's persisted-derived-state pattern — re-analysis resumes
+from persisted output, not the raw scan (SeqScanAsJson.java:66-77).
 
 Resume: --resume skips any stage whose _SUCCESS marker exists and reads
 its table back — stage-level checkpointing (each stage boundary IS the
@@ -28,6 +43,17 @@ the validation suite (jobs/validate_job.py --checkpoint), whose check
 results are independent per partition; curation stages are global
 (components and splits must see all pairs), so the honest resume unit
 here is the stage.
+
+Parameter guard (ADVICE r4): the first run persists every
+semantics-affecting flag to <output>/params.json; --resume REFUSES to
+run (exit 2) if the recorded params differ from the current invocation —
+otherwise a resumed run with, say, --redact-pii added would silently
+reuse the unredacted corpus/ table, exit 0, and overwrite metrics.json
+as if the new flags had applied.
+
+--tokenizer names the token counter used for packing budgets (the r5
+swap point — functions/text.py TOKEN_COUNTERS; production registers the
+real-tokenizer UDF there and passes its name).
 
 Exit 0 on success; 1 if the input has no rows.
 """
@@ -57,14 +83,45 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-tokens", type=int, default=2048)
     ap.add_argument("--pack-groups", type=int, default=0)
     ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--tokenizer", default="ws")
+    ap.add_argument("--against", default=None)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
+
+    # every flag that changes what a stage WOULD compute (not how it runs)
+    params = {
+        k: getattr(args, k)
+        for k in (
+            "input", "id_col", "text_col", "n_perm", "band_size",
+            "threshold", "max_tokens", "pack_groups", "redact_pii",
+            "tokenizer", "against",
+        )
+    }
+    params_path = os.path.join(args.output, "params.json")
+    if args.resume and os.path.exists(params_path):
+        recorded = json.load(open(params_path, encoding="utf-8"))
+        if recorded != params:
+            diff = {
+                k: {"recorded": recorded.get(k), "current": params.get(k)}
+                for k in sorted(set(recorded) | set(params))
+                if recorded.get(k) != params.get(k)
+            }
+            print(
+                "curate: REFUSING to resume — recorded params differ from this "
+                f"invocation (a resumed stage would not reflect them): {json.dumps(diff)}. "
+                "Re-run without --resume (recomputes all stages) or restore the flags."
+            )
+            return 2
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from schema_inference_spark.functions import text as TX
     from schema_inference_spark.operators.dedup import (
+        cross_batch_candidates,
+        cross_batch_exact_dups,
+        cross_batch_verified_pairs,
+        dedup_signatures,
         duplicate_components,
         jaccard_verified_pairs,
         lsh_candidate_pairs,
@@ -77,10 +134,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.getOrCreate()
     ensure_utc(spark)
     id_col, text_col, out = args.id_col, args.text_col, args.output
+    token_count = TX.get_token_counter(args.tokenizer)[0]  # fail fast on typos
     docs = spark.read.parquet(args.input)
     if docs.limit(1).count() == 0:
         print("curate: input has no rows")
         return 1
+
+    os.makedirs(out, exist_ok=True)
+    with open(params_path, "w", encoding="utf-8") as f:
+        json.dump(params, f, indent=2)
 
     metrics: dict[str, dict] = {}
 
@@ -99,6 +161,66 @@ def main(argv: list[str] | None = None) -> int:
             "sec": round(time.perf_counter() - t0, 2),
         }
         return back
+
+    # 0. (--against) cross-snapshot dedup FIRST: docs duplicating the prior
+    # curated corpus never enter the within-batch pipeline
+    docs_in, n_cross_dropped = docs, 0
+    if args.against:
+        prior_sigs_path = os.path.join(args.against, "signatures")
+        prior_corpus_path = os.path.join(args.against, "corpus")
+        if not (_done(prior_sigs_path) and _done(prior_corpus_path)):
+            print(
+                f"curate: --against {args.against} lacks signatures/ or corpus/ "
+                "(it must be a completed output of this job)"
+            )
+            return 3
+        prior_params_path = os.path.join(args.against, "params.json")
+        if os.path.exists(prior_params_path):
+            pp = json.load(open(prior_params_path, encoding="utf-8"))
+            if (pp.get("n_perm"), pp.get("band_size")) != (args.n_perm, args.band_size):
+                print(
+                    "curate: --against signature scheme mismatch: prior recorded "
+                    f"n_perm={pp.get('n_perm')}/band_size={pp.get('band_size')}, this "
+                    f"invocation uses {args.n_perm}/{args.band_size} — band buckets "
+                    "are scheme-dependent, so the join would be silently empty"
+                )
+                return 3
+        prior_sigs = spark.read.parquet(prior_sigs_path)
+        prior_corpus = spark.read.parquet(prior_corpus_path)
+
+        def build_cross_batch():
+            exact = (
+                cross_batch_exact_dups(docs, prior_sigs, id_col, text_col)
+                .join(
+                    prior_sigs.select("content_hash", F.col(id_col).alias("id_prior")),
+                    "content_hash",
+                )
+                .select(
+                    "id_new", "id_prior",
+                    F.lit(1.0).alias("jaccard"), F.lit("exact").alias("kind"),
+                )
+            )
+            cands = cross_batch_candidates(
+                dedup_signatures(docs, id_col, text_col, n_perm=args.n_perm),
+                prior_sigs, id_col,
+                n_perm=args.n_perm, band_size=args.band_size,
+            )
+            near = (
+                cross_batch_verified_pairs(
+                    docs, prior_corpus, cands, id_col, text_col,
+                    threshold=args.threshold,
+                )
+                # an exact dup also band-collides and verifies at 1.0 —
+                # report it once, under the stronger kind
+                .join(exact.select("id_new"), "id_new", "left_anti")
+                .select("id_new", "id_prior", "jaccard", F.lit("near").alias("kind"))
+            )
+            return exact.unionByName(near)
+
+        cross = stage("cross_batch", build_cross_batch)
+        drop_new = cross.select(F.col("id_new").alias(id_col)).distinct()
+        n_cross_dropped = drop_new.count()
+        docs = docs.join(drop_new, id_col, "left_anti")
 
     # 1. near-dup pairs: LSH candidates, exact-Jaccard verified. The
     # candidate frame is rebuilt from the pairs table on resume via the
@@ -132,10 +254,19 @@ def main(argv: list[str] | None = None) -> int:
 
             split_docs = split_docs.withColumn(text_col, redact_expr(F.col(text_col)))
         return split_docs.withColumn(
-            "n_tokens", TX.token_count_expr(F.col(text_col)).cast("long")
+            "n_tokens", token_count(F.col(text_col)).cast("long")
         )
 
     corpus = stage("corpus", build_corpus)
+
+    # 3b. persist the signature table of the SHIPPED corpus (post-dedup,
+    # post-redaction text) — the table a later batch dedups --against
+    stage(
+        "signatures",
+        lambda: dedup_signatures(
+            corpus.select(id_col, text_col), id_col, text_col, n_perm=args.n_perm
+        ),
+    )
 
     # 4. pack the train split into token-budget bins
     packed = stage(
@@ -153,9 +284,10 @@ def main(argv: list[str] | None = None) -> int:
         r["split"]: r["n"]
         for r in corpus.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    n_input = docs.count()
+    n_input = docs_in.count()
     summary = {
         "input_docs": n_input,
+        "cross_batch_dropped": n_cross_dropped,
         "near_dup_pairs": pairs.count(),
         "docs_dropped": n_input - corpus.count(),
         "splits": splits,

@@ -41,7 +41,12 @@ def exact_duplicate_groups(df: DataFrame, content_col: str, id_col: str) -> Data
 
 
 def _minhash_aggregated(
-    df: DataFrame, id_col: str, text_col: str, seeds_and_names: list[tuple[int, str]], k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seeds_and_names: list[tuple[int, str]],
+    k: int,
+    restore_to: DataFrame | None = None,
 ) -> DataFrame:
     # Fully whole-stage-codegen formulation (measured 20x faster than any
     # higher-order-function variant, which Spark evaluates interpreted):
@@ -67,8 +72,12 @@ def _minhash_aggregated(
 
     sigs = hashed.groupBy(id_col).agg(*[mh(s, n) for s, n in seeds_and_names])
     # docs with fewer than k words have no shingles -> NULL signature row,
-    # restored via left join so callers see the same contract as before
-    return df.select(id_col).join(sigs, id_col, "left")
+    # restored via left join so callers see the same contract as before.
+    # restore_to lets a caller ride extra per-doc columns (e.g. the content
+    # hash in dedup_signatures) through the SAME restore join instead of
+    # paying a second id-keyed shuffle.
+    base = restore_to if restore_to is not None else df.select(id_col)
+    return base.join(sigs, id_col, "left")
 
 
 def minhash_signatures(
@@ -104,6 +113,26 @@ def lsh_candidate_pairs(
     bucket (e.g. boilerplate docs) is exactly a skew join — AQE splits it.
     """
     sig = minhash_signatures(df, id_col, text_col, n_perm, k)
+    buckets = _band_buckets(sig, id_col, n_perm, band_size)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def _band_buckets(
+    sig: DataFrame, id_col: str, n_perm: int, band_size: int
+) -> DataFrame:
+    """(id, band_id, band_sig) rows from a mh0..mh{n_perm-1} signature frame
+    — one explode, NULL/empty bands dropped (sub-k-word docs)."""
     n_bands = n_perm // band_size
     bands = F.array(
         *[
@@ -116,22 +145,10 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    buckets = (
+    return (
         sig.select(id_col, F.explode(bands).alias("band"))
         .select(id_col, "band.band_id", "band.band_sig")
         .where(F.col("band_sig").isNotNull() & (F.col("band_sig") != ""))
-    )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
 
 
@@ -368,12 +385,17 @@ def duplicated_spans(
     a training-pipeline requirement). A suffix array is the single-node
     tool; the Spark-native equivalent marks every k-word shingle whose hash
     occurs MORE THAN ONCE in the corpus (across or within documents — Lee
-    et al. remove within-doc repeats too) and merges runs of consecutive
-    duplicated positions into maximal word spans per document.
+    et al. remove within-doc repeats too) and merges duplicated positions
+    whose k-word windows OVERLAP (position gap <= k-1, which subsumes
+    consecutive runs) into maximal word spans per document — so emitted
+    spans are DISJOINT and summing n_words per doc is an exact duplicated-
+    coverage measure (ADVICE r4: the consecutive-only merge could emit
+    overlapping spans for gapped duplicated shingles, double-counting).
 
     Returns (id_col, span_start, span_end, n_words, n_shingles) with
     1-based inclusive word indices; a span covers words
-    [span_start, span_end] = [first dup pos, last dup pos + k - 1].
+    [span_start, span_end] = [first dup pos, last dup pos + k - 1];
+    n_shingles counts the duplicated shingle positions inside the span.
 
     Scale shape: one codegen explode (positions + 60-bit md5 shingle
     hashes), one partial-agg groupBy(h) for global occurrence counts, one
@@ -388,8 +410,14 @@ def duplicated_spans(
     sh = exploded_shingle_positions(df, id_col, F.col(text_col), k)
     dup = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ")).where(F.col("n_occ") > 1)
     pos = sh.join(dup.select("h"), "h", "left_semi")
+    # gaps-and-islands with overlap-aware boundaries: a new island starts
+    # when the gap to the previous duplicated position exceeds k-1 (the
+    # windows no longer share words); cumulative-sum of boundary flags is
+    # the island id (lag is NULL on the first row -> no boundary)
     w = Window.partitionBy(id_col).orderBy("pos")
-    island = (F.col("pos") - F.row_number().over(w)).alias("_g")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    boundary = F.when(F.col("pos") - F.lag("pos", 1).over(w) > k - 1, 1).otherwise(0)
+    island = F.sum(boundary).over(wc).alias("_g")
     return (
         pos.select(id_col, "pos", island)
         .groupBy(id_col, "_g")
@@ -419,12 +447,141 @@ def duplicated_spans_sql(
 WITH sh AS (SELECT * FROM {sh}),
 dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
 pos AS (SELECT s.{id_col}, s.pos FROM sh s JOIN dup USING (h)),
+bnd AS (SELECT {id_col}, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos)
+                         > {k - 1} THEN 1 ELSE 0 END AS b
+        FROM pos),
 isl AS (SELECT {id_col}, pos,
-               pos - row_number() OVER (PARTITION BY {id_col} ORDER BY pos) AS g
-        FROM pos)
+               sum(b) OVER (PARTITION BY {id_col} ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM bnd)
 SELECT {id_col}, min(pos)::BIGINT AS span_start,
        (max(pos) + {k - 1})::BIGINT AS span_end,
        (max(pos) + {k - 1} - min(pos) + 1)::BIGINT AS n_words,
        count(*)::BIGINT AS n_shingles
 FROM isl GROUP BY {id_col}, g
 """
+
+
+# --- cross-snapshot incremental dedup (r5) ----------------------------------
+#
+# Production crawls are rolling: a new batch must dedup against the
+# ALREADY-CURATED corpus, not just within itself — without re-reading the
+# prior corpus' text for the bulk of the work. The curated corpus therefore
+# persists a SIGNATURE table (dedup_signatures: content hash + MinHash
+# signature per kept doc); a later batch (1) anti-joins its content hashes
+# against it for exact dups and (2) band-bucket-joins its MinHash signatures
+# against it for near-dup candidates, touching prior TEXT only for the
+# candidate members during Jaccard verification. The reference's own
+# re-analysis entry point — resuming schema inference from its persisted
+# distinct output rather than the raw scan (SeqScanAsJson.java:66-77) — is
+# the seed of exactly this persisted-derived-state pattern.
+#
+# Scale shape: the signature table is ~100 bytes/doc (10^12 docs = 100 TB
+# corpus -> ~100 GB of signatures), the band join is bucket-local with AQE
+# skew splitting, and nothing ever joins prior x prior or new x new.
+
+
+def dedup_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_perm: int = 8, k: int = 3,
+) -> DataFrame:
+    """(id, content_hash, mh0..mh{n_perm-1}) — the persisted signature table
+    a curated corpus carries so future batches can dedup against it. One
+    shingle explode + one restore join (the content hash rides the same
+    join that restores sub-k-word docs); sub-k-word docs get NULL minhashes
+    but still carry their content_hash for the exact path."""
+    base = df.select(
+        F.col(id_col), md5_long_expr(F.col(text_col)).alias("content_hash")
+    )
+    return _minhash_aggregated(
+        df, id_col, text_col, [(s, f"mh{s}") for s in range(n_perm)], k,
+        restore_to=base,
+    )
+
+
+def cross_batch_exact_dups(
+    new_docs: DataFrame, prior_sigs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id_new, content_hash): new-batch docs whose exact content already
+    exists in the prior corpus. One semi-join of md5 content hashes against
+    the signature table — the prior corpus' text is never read."""
+    hashed = new_docs.select(
+        F.col(id_col).alias("id_new"),
+        md5_long_expr(F.col(text_col)).alias("content_hash"),
+    )
+    return hashed.join(
+        prior_sigs.select("content_hash").distinct(), "content_hash", "left_semi"
+    ).select("id_new", "content_hash")
+
+
+def cross_batch_candidates(
+    new_sigs: DataFrame, prior_sigs: DataFrame,
+    id_col: str = "doc_id", n_perm: int = 8, band_size: int = 2,
+) -> DataFrame:
+    """(id_new, id_prior) near-dup candidates: banded buckets of the NEW
+    batch's signatures equi-joined against the PERSISTED prior signature
+    table. Strictly cross-batch — new x new is within-batch dedup's job and
+    prior x prior is already deduped — so there is no id ordering
+    constraint and overlapping id spaces across batches are safe."""
+    a = _band_buckets(new_sigs, id_col, n_perm, band_size).withColumnRenamed(
+        id_col, "id_new"
+    )
+    b = _band_buckets(prior_sigs, id_col, n_perm, band_size).withColumnRenamed(
+        id_col, "id_prior"
+    )
+    return (
+        a.join(b, ["band_id", "band_sig"]).select("id_new", "id_prior").distinct()
+    )
+
+
+def cross_batch_verified_pairs(
+    new_docs: DataFrame,
+    prior_docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact k-shingle Jaccard over cross-batch candidates; keeps
+    (id_new, id_prior, jaccard) pairs >= threshold. Shingle sets are built
+    PER SIDE (unlike the within-batch verifier, whose single shingle frame
+    would mix texts if an id appeared in both batches), and each side's
+    explode touches only candidate members via a semi-join."""
+    from schema_inference_spark.functions.hashing import exploded_shingles
+
+    def side_shingles(docs: DataFrame, cand_col: str, out_id: str) -> DataFrame:
+        members = candidates.select(F.col(cand_col).alias(id_col)).distinct()
+        return (
+            exploded_shingles(
+                docs.join(F.broadcast(members), id_col, "left_semi"),
+                id_col, F.col(text_col), k,
+            )
+            .distinct()
+            .withColumnRenamed(id_col, out_id)
+        )
+
+    s_new = side_shingles(new_docs, "id_new", "id_new")
+    s_prior = side_shingles(prior_docs, "id_prior", "id_prior")
+    n_new = s_new.groupBy("id_new").agg(F.count(F.lit(1)).alias("n_a"))
+    n_prior = s_prior.groupBy("id_prior").agg(F.count(F.lit(1)).alias("n_b"))
+    inter = (
+        candidates.join(s_new, "id_new")
+        .join(s_prior, ["id_prior", "shingle"])
+        .groupBy("id_new", "id_prior")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(n_new, "id_new")
+        .join(n_prior, "id_prior")
+        .select(
+            "id_new",
+            "id_prior",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -53,6 +53,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 128,
     overlap: int = 16,
+    token_count_expr=None,
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the
     embedding-ingestion precursor (RAG/embedding pipelines consume fixed
@@ -63,6 +64,13 @@ def chunk_documents(
     chunk step is (chunk_tokens - overlap) so consecutive chunks share
     ``overlap`` tokens. Output: (id, chunk_id, chunk_text, n_tokens),
     chunk_id 0-based in document order.
+
+    ``token_count_expr`` (tokenizer swap point, VERDICT r4 #4): window
+    BOUNDARIES are whitespace-word-defined either way, but the reported
+    per-chunk ``n_tokens`` budget is pluggable — pass a Column->Column
+    counter (see functions/text.py TOKEN_COUNTERS; production registers
+    the real-tokenizer UDF there) and it is applied to each chunk_text
+    instead of the default word-count formula.
     """
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
@@ -94,6 +102,10 @@ def chunk_documents(
             ).cast("int").alias("n_tokens"),
         )
     )
+    if token_count_expr is not None:
+        chunked = chunked.withColumn(
+            "n_tokens", token_count_expr(F.col("chunk_text")).cast("int")
+        )
     return chunked
 
 
@@ -130,6 +142,8 @@ def pack_documents(
     token_col: str = "n_tokens",
     max_tokens: int = 2048,
     n_partitions: int | None = None,
+    token_count_expr=None,
+    text_col: str = "text",
 ) -> DataFrame:
     """(id, n_tokens, bin_id, truncated) — every doc assigned to a bin whose
     total token count is <= max_tokens (except single oversized docs).
@@ -138,7 +152,15 @@ def pack_documents(
     its historical name); size it so one group's (id, tokens) pairs fit a
     single task's memory — 16 bytes/doc, so even 10^8 docs/group is
     1.6 GB and at 10^12 docs ~10^5 groups keeps tasks at ~10^7 rows.
+
+    ``token_count_expr`` (tokenizer swap point, VERDICT r4 #4): when given,
+    ``token_col`` is DERIVED as token_count_expr(text_col) instead of being
+    read from the input — pass the real-tokenizer counter registered in
+    functions/text.py TOKEN_COUNTERS so production bins budget on true BPE
+    counts while the sandbox default stays the oracle-checked word count.
     """
+    if token_count_expr is not None:
+        df = df.withColumn(token_col, token_count_expr(F.col(text_col)))
     # keep the caller's id type verbatim: a plain cast('long') on a string
     # doc_id would throw CAST_INVALID_INPUT under ANSI (ADVICE r2); the id
     # only rides along and string ids sort/group fine

@@ -685,6 +685,10 @@ SPECS = [
     QuerySpec("event_profile", event_profile, EVENT_PROFILE_SQL, "null-fraction profile"),
     QuerySpec("error_asof_last_click", error_asof_last_click, ASOF_SQL, "as-of join"),
     QuerySpec("order_rollup", order_rollup, ROLLUP_SQL, "rollup aggregation"),
-    QuerySpec("customers_minus_buyers", customers_minus_buyers, EXCEPT_SQL, "EXCEPT ALL"),
+    # customers_minus_buyers rotated to catalog_extra in r5 (registry
+    # rotation policy, COVERAGE.md): 0 rows at every SF and the set-op
+    # family keeps order_rollup + user_bucket_event_pivot; its slot went to
+    # doc_cross_batch_near_dups (catalog_text) — still strict-checked at
+    # both SFs via test_extra_parity.
     QuerySpec("user_bucket_event_pivot", user_bucket_event_pivot, PIVOT_SQL, "pivot"),
 ]

@@ -633,4 +633,21 @@ def extra_specs() -> list[QuerySpec]:
                   "redaction pinned via length-delta checksum"),
         QuerySpec("doc_domain_stats", doc_domain_stats, _domain_sql(),
                   "per-domain URL stats (source-filtering signal)"),
+        _rotated_customers_minus_buyers(),
     ]
+
+
+def _rotated_customers_minus_buyers() -> QuerySpec:
+    """Rotated out of the 50-slot registry in r5 (COVERAGE.md rotation
+    policy): 0 rows at every SF; the set-op family keeps order_rollup +
+    user_bucket_event_pivot there. Still strict-checked at sf0.001 AND
+    sf0.01 here."""
+    from schema_inference_spark.queries.catalog_core import (
+        EXCEPT_SQL,
+        customers_minus_buyers,
+    )
+
+    return QuerySpec(
+        "customers_minus_buyers", customers_minus_buyers, EXCEPT_SQL,
+        "EXCEPT ALL (rotated from the registry in r5)",
+    )

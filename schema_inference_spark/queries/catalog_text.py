@@ -251,6 +251,92 @@ ORDER BY id_a, id_b
 """
 
 
+def doc_cross_batch_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (r5): a rolling crawl's NEW batch
+    deduped against the ALREADY-CURATED corpus via its persisted signature
+    table — exactly the reference's persisted-derived-state pattern of
+    resuming analysis from prior output instead of the raw scan
+    (SeqScanAsJson.java:66-77). The deterministic cross-engine split plays
+    both roles from one table: even doc_ids are the prior corpus, odd the
+    new batch (TESTDATA's planted near-dups are consecutive ids, so most
+    planted pairs cross the batch boundary). New-batch signatures
+    band-bucket-join against the prior signature table (never new x new or
+    prior x prior), candidates verify with exact k-shingle Jaccard built
+    PER SIDE."""
+    from schema_inference_spark.operators.dedup import (
+        cross_batch_candidates,
+        cross_batch_verified_pairs,
+        dedup_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    cands = cross_batch_candidates(
+        dedup_signatures(new, n_perm=4),
+        dedup_signatures(prior, n_perm=4),
+        n_perm=4,
+        band_size=2,
+    )
+    return cross_batch_verified_pairs(new, prior, cands, threshold=0.0).orderBy(
+        "id_new", "id_prior"
+    )
+
+
+CROSS_BATCH_SQL = f"""
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+priord AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+sig_new AS (
+  SELECT doc_id,
+         {minhash_sql('text', 0)} AS mh0, {minhash_sql('text', 1)} AS mh1,
+         {minhash_sql('text', 2)} AS mh2, {minhash_sql('text', 3)} AS mh3
+  FROM newd
+), sig_prior AS (
+  SELECT doc_id,
+         {minhash_sql('text', 0)} AS mh0, {minhash_sql('text', 1)} AS mh1,
+         {minhash_sql('text', 2)} AS mh2, {minhash_sql('text', 3)} AS mh3
+  FROM priord
+), bk_new AS (
+  SELECT * FROM (
+    SELECT doc_id, 0 AS band_id, mh0::VARCHAR || ',' || mh1::VARCHAR AS band_sig FROM sig_new
+    UNION ALL
+    SELECT doc_id, 1 AS band_id, mh2::VARCHAR || ',' || mh3::VARCHAR AS band_sig FROM sig_new
+  ) WHERE band_sig IS NOT NULL AND band_sig != ''
+), bk_prior AS (
+  SELECT * FROM (
+    SELECT doc_id, 0 AS band_id, mh0::VARCHAR || ',' || mh1::VARCHAR AS band_sig FROM sig_prior
+    UNION ALL
+    SELECT doc_id, 1 AS band_id, mh2::VARCHAR || ',' || mh3::VARCHAR AS band_sig FROM sig_prior
+  ) WHERE band_sig IS NOT NULL AND band_sig != ''
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_prior
+  FROM bk_new a JOIN bk_prior b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+), sh_new AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql('text', 3)}) AS shingle
+  FROM newd JOIN (SELECT DISTINCT id_new FROM cand) m ON doc_id = m.id_new
+), sh_prior AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql('text', 3)}) AS shingle
+  FROM priord JOIN (SELECT DISTINCT id_prior FROM cand) m ON doc_id = m.id_prior
+), sz_new AS (SELECT doc_id, count(*) AS n FROM sh_new GROUP BY doc_id),
+sz_prior AS (SELECT doc_id, count(*) AS n FROM sh_prior GROUP BY doc_id),
+inter AS (
+  SELECT c.id_new, c.id_prior, count(*) AS n_inter
+  FROM cand c
+  JOIN sh_new s1 ON s1.doc_id = c.id_new
+  JOIN sh_prior s2 ON s2.doc_id = c.id_prior AND s2.shingle = s1.shingle
+  GROUP BY c.id_new, c.id_prior
+)
+SELECT i.id_new, i.id_prior,
+       round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sz_new na ON na.doc_id = i.id_new
+JOIN sz_prior nb ON nb.doc_id = i.id_prior
+WHERE round(n_inter / (na.n + nb.n - n_inter), 6) >= 0.0
+ORDER BY id_new, id_prior
+"""
+
+
 def token_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top tokens by document frequency (the DF side of TF-IDF): exploded
     distinct (doc, token) pairs -> hash-agg count -> top-k."""
@@ -291,6 +377,9 @@ SPECS = [
     # chain intermediate of doc_lsh_candidates/doc_verified_near_dups (both
     # here), and the driver registry is capped at 50 entries.
     QuerySpec("doc_lsh_candidates", doc_lsh_candidates, LSH_CAND_SQL, "MinHash-LSH pairs"),
+    QuerySpec("doc_cross_batch_near_dups", doc_cross_batch_near_dups, CROSS_BATCH_SQL,
+              "cross-snapshot incremental dedup: new batch vs persisted "
+              "signature table (r5 registry slot via rotation policy)"),
     QuerySpec("doc_simhash", doc_simhash, SIMHASH_Q_SQL, "SimHash fingerprints"),
     QuerySpec("doc_simhash_near_pairs", doc_simhash_near_pairs, SIMHASH_PAIRS_SQL,
               "pigeonhole-blocked SimHash near-pairs vs all-pairs oracle"),

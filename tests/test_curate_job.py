@@ -95,3 +95,113 @@ def test_curate_job_end_to_end_and_resume(spark):
             for r in spark.read.parquet(f"{d}/out/packed").collect()
         }
         assert repacked == packed_rows
+
+        # PARAMS GUARD (ADVICE r4): resuming with semantics-changing flags
+        # (threshold changed, --redact-pii dropped) must refuse with exit 2
+        # and touch nothing — otherwise stale stage outputs would be reused
+        # as if the new flags had applied
+        metrics_mtime = os.path.getmtime(f"{d}/out/metrics.json")
+        rc = main([
+            "--input", f"{d}/in", "--output", f"{d}/out",
+            "--threshold", "0.7", "--max-tokens", "256",
+            "--pack-groups", "4", "--resume",
+        ])
+        assert rc == 2
+        assert os.path.getmtime(f"{d}/out/metrics.json") == metrics_mtime
+        recorded = json.load(open(f"{d}/out/params.json"))
+        assert recorded["threshold"] == 0.6 and recorded["redact_pii"] is True
+        # matching flags still resume cleanly
+        rc = main([
+            "--input", f"{d}/in", "--output", f"{d}/out",
+            "--threshold", "0.6", "--max-tokens", "256",
+            "--pack-groups", "4", "--redact-pii", "--resume",
+        ])
+        assert rc == 0
+
+
+def test_curate_job_against_prior_corpus(spark):
+    """Cross-snapshot incremental dedup through the production job (VERDICT
+    r4 #1): batch B curated --against batch A's output must drop exactly
+    the planted cross-batch dups (one exact, one near), keep fresh docs,
+    resume from the cross_batch checkpoint, and refuse a signature-scheme
+    mismatch."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # batch A: 200 unique docs (no within-batch dups, no PII)
+        a_expr = (
+            "concat_ws(' ', transform(sequence(0, 24), "
+            "j -> substr(md5(concat(cast(id AS string), '-', cast(j AS string))), 1, 8)))"
+        )
+        batch_a = spark.range(200).selectExpr("id AS doc_id", f"{a_expr} AS text")
+        batch_a.write.mode("overwrite").parquet(f"{d}/in_a")
+        assert main(["--input", f"{d}/in_a", "--output", f"{d}/a"]) == 0
+        m_a = json.load(open(f"{d}/a/metrics.json"))
+        assert m_a["cross_batch_dropped"] == 0
+        # the signature table is part of the shipped output
+        sigs = spark.read.parquet(f"{d}/a/signatures")
+        assert sigs.count() == 200 - m_a["docs_dropped"]
+        assert {"doc_id", "content_hash"} <= set(sigs.columns)
+
+        # batch B (ids 1000+): fresh docs, PLUS an exact copy of A doc 7's
+        # text and a near copy (last word changed) of A doc 9's text
+        a_texts = {r["doc_id"]: r["text"] for r in batch_a.collect()}
+        near = a_texts[9].split()
+        near[-1] = "changedword"
+        b_expr = a_expr.replace("cast(id AS string)", "cast(id + 5000 AS string)")
+        rows = [(1005, a_texts[7]), (1010, " ".join(near))]
+        fresh = spark.range(1100, 1200).selectExpr(
+            "id AS doc_id", f"{b_expr} AS text"
+        )
+        planted = spark.createDataFrame(rows, "doc_id long, text string")
+        fresh.unionByName(planted).write.mode("overwrite").parquet(f"{d}/in_b")
+
+        rc = main([
+            "--input", f"{d}/in_b", "--output", f"{d}/b", "--against", f"{d}/a",
+        ])
+        assert rc == 0
+        m_b = json.load(open(f"{d}/b/metrics.json"))
+        assert m_b["cross_batch_dropped"] == 2
+        cross = {
+            (r["id_new"], r["id_prior"], r["kind"])
+            for r in spark.read.parquet(f"{d}/b/cross_batch").collect()
+        }
+        assert cross == {(1005, 7, "exact"), (1010, 9, "near")}
+        corpus_b = spark.read.parquet(f"{d}/b/corpus")
+        kept = {r["doc_id"] for r in corpus_b.select("doc_id").collect()}
+        assert 1005 not in kept and 1010 not in kept
+        assert len(kept) == 100  # every fresh doc survives
+
+        # resume: nuke packed only; cross_batch must be read back, outputs
+        # identical
+        packed_before = {
+            (r["doc_id"], r["bin_id"])
+            for r in spark.read.parquet(f"{d}/b/packed").collect()
+        }
+        for f in os.listdir(f"{d}/b/packed"):
+            os.remove(os.path.join(f"{d}/b/packed", f))
+        os.rmdir(f"{d}/b/packed")
+        rc = main([
+            "--input", f"{d}/in_b", "--output", f"{d}/b", "--against", f"{d}/a",
+            "--resume",
+        ])
+        assert rc == 0
+        m_b2 = json.load(open(f"{d}/b/metrics.json"))
+        assert m_b2["stages"]["cross_batch"] == {"resumed": True}
+        assert m_b2["cross_batch_dropped"] == 2
+        packed_after = {
+            (r["doc_id"], r["bin_id"])
+            for r in spark.read.parquet(f"{d}/b/packed").collect()
+        }
+        assert packed_after == packed_before
+
+        # params guard extends to --against: resuming WITHOUT it must refuse
+        assert main([
+            "--input", f"{d}/in_b", "--output", f"{d}/b", "--resume",
+        ]) == 2
+
+        # signature-scheme mismatch refuses before any work
+        assert main([
+            "--input", f"{d}/in_b", "--output", f"{d}/b2", "--against", f"{d}/a",
+            "--n-perm", "8",
+        ]) == 3

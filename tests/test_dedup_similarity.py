@@ -471,12 +471,20 @@ def test_duplicated_spans_planted(spark):
 
     shared = [f"s{i}" for i in range(15)]
     rep = [f"r{i}" for i in range(12)]
+    # gapped-overlap case (ADVICE r4): d6's shingles at pos 1 and pos 3 are
+    # each duplicated elsewhere (in d7 / d8 respectively) while pos 2's is
+    # unique — their k-word windows overlap (gap 2 <= k-1), so they must
+    # merge into ONE disjoint span 1..12, not two overlapping spans
+    ov = [f"x{i}" for i in range(12)]
     rows = [
         ("d1", " ".join([f"a{i}" for i in range(5)] + shared + [f"b{i}" for i in range(10)])),
         ("d2", " ".join([f"c{i}" for i in range(10)] + shared + [f"d{i}" for i in range(5)])),
         ("d3", " ".join(f"e{i}" for i in range(25))),
         ("d4", " ".join(rep + [f"f{i}" for i in range(6)] + rep)),
         ("d5", "too short"),
+        ("d6", " ".join(ov)),
+        ("d7", " ".join(ov[:10])),
+        ("d8", " ".join(ov[2:])),
     ]
     df = spark.createDataFrame(rows, "doc_id string, text string")
     got = sorted(
@@ -488,4 +496,89 @@ def test_duplicated_spans_planted(spark):
         ("d2", 11, 25, 15, 6),
         ("d4", 1, 12, 12, 3),   # within-doc repeat, both occurrences
         ("d4", 19, 30, 12, 3),
+        ("d6", 1, 12, 12, 2),   # merged gapped overlap: one disjoint span
+        ("d7", 1, 10, 10, 1),
+        ("d8", 1, 10, 10, 1),
     ]
+    # disjoint-coverage guarantee: per doc, spans never overlap
+    by_doc: dict = {}
+    for doc, s, e, _, _ in got:
+        by_doc.setdefault(doc, []).append((s, e))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 > e1, f"overlapping spans in {doc}: {spans}"
+
+
+def test_cross_batch_incremental_dedup(spark):
+    """Cross-snapshot incremental dedup (VERDICT r4 #1): a new batch deduped
+    against the prior batch's persisted signature table must find exactly
+    the planted cross-batch exact + near dups — never new x new (that is
+    within-batch dedup's job) nor prior x prior (already deduped)."""
+    from schema_inference_spark.operators.dedup import (
+        cross_batch_candidates,
+        cross_batch_exact_dups,
+        cross_batch_verified_pairs,
+        dedup_signatures,
+    )
+
+    base = [f"w{i}" for i in range(20)]
+    near = base[:-1] + ["zz"]  # only the last k=3 shingle differs: 17/19 shared
+    prior_rows = [
+        ("a1", " ".join(base)),
+        ("a2", " ".join(f"p{i}" for i in range(20))),
+        ("a3", " ".join(f"q{i}" for i in range(20))),
+    ]
+    new_rows = [
+        ("b_exact", " ".join(base)),            # byte-identical to a1
+        ("b_near", " ".join(near)),             # near-dup of a1
+        ("b_fresh", " ".join(f"n{i}" for i in range(20))),
+        # near-dup pair WITHIN the new batch only — must never surface here
+        ("b_pair1", " ".join(f"m{i}" for i in range(20))),
+        ("b_pair2", " ".join([f"m{i}" for i in range(19)] + ["yy"])),
+    ]
+    prior = spark.createDataFrame(prior_rows, "doc_id string, text string")
+    new = spark.createDataFrame(new_rows, "doc_id string, text string")
+
+    prior_sigs = dedup_signatures(prior, n_perm=8)
+    new_sigs = dedup_signatures(new, n_perm=8)
+    assert set(prior_sigs.columns) == {"doc_id", "content_hash"} | {
+        f"mh{i}" for i in range(8)
+    }
+
+    exact = cross_batch_exact_dups(new, prior_sigs).collect()
+    assert [r["id_new"] for r in exact] == ["b_exact"]
+
+    cands = cross_batch_candidates(new_sigs, prior_sigs, n_perm=8, band_size=2)
+    got_cands = {(r["id_new"], r["id_prior"]) for r in cands.collect()}
+    assert ("b_exact", "a1") in got_cands and ("b_near", "a1") in got_cands
+    # strictly cross-batch: every pair is (new, prior)
+    assert all(n.startswith("b_") and p.startswith("a") for n, p in got_cands)
+
+    verified = {
+        (r["id_new"], r["id_prior"]): r["jaccard"]
+        for r in cross_batch_verified_pairs(new, prior, cands, threshold=0.6).collect()
+    }
+    assert verified[("b_exact", "a1")] == 1.0
+    assert abs(verified[("b_near", "a1")] - round(17 / 19, 6)) < 1e-6
+    assert all(n != "b_pair1" and n != "b_pair2" for n, _ in verified)
+
+
+def test_cross_batch_verify_safe_with_overlapping_id_spaces(spark):
+    """The cross-batch verifier builds shingles PER SIDE: an id reused
+    across batches with different text must score the TEXTS, not a mixed
+    shingle bag (the within-batch verifier's single-frame shape would)."""
+    from schema_inference_spark.operators.dedup import cross_batch_verified_pairs
+
+    prior = spark.createDataFrame(
+        [("x", " ".join(f"p{i}" for i in range(10)))], "doc_id string, text string"
+    )
+    new = spark.createDataFrame(
+        [("x", " ".join([f"p{i}" for i in range(9)] + ["zz"]))],
+        "doc_id string, text string",
+    )
+    cands = spark.createDataFrame([("x", "x")], "id_new string, id_prior string")
+    got = cross_batch_verified_pairs(new, prior, cands, threshold=0.0).collect()
+    # 8 shingles/side, only the last differs: jaccard = 7/9 (a mixed shingle
+    # bag would score the union against itself and return 1.0)
+    assert len(got) == 1 and abs(got[0]["jaccard"] - round(7 / 9, 6)) < 1e-6

@@ -4,6 +4,8 @@ component/split unit semantics."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -11,11 +13,24 @@ from schema_inference_spark.queries.catalog_extra import extra_specs
 from tests.oracle_harness import compare_query
 
 SPECS = extra_specs()
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
 def test_extra_query_matches_oracle(spark, sf_dir, spec):
     problems = compare_query(spark, spec, sf_dir)
+    assert problems == [], problems
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(DRIVER_SF_DIR), reason="driver-SF testdata not present"
+)
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_extra_query_matches_oracle_at_driver_sf(spark, spec):
+    """VERDICT r4 #7: the sf0.01 sweep (tools/extra_strict_compare.py) was a
+    manual one-off; in the gate, extra-catalog regressions at the DRIVER's
+    scale factor can't slip through a passing pytest run."""
+    problems = compare_query(spark, spec, DRIVER_SF_DIR)
     assert problems == [], problems
 
 
