@@ -187,10 +187,20 @@ def main(argv: list[str] | None = None) -> int:
                 return 3
         prior_sigs = spark.read.parquet(prior_sigs_path)
         prior_corpus = spark.read.parquet(prior_corpus_path)
+        # compare like-for-like: the prior signatures were built on the
+        # SHIPPED (post-redaction) corpus text, so when this run redacts,
+        # the new batch must be hashed/verified on its text as it WOULD
+        # ship — otherwise an exact dup of a PII-bearing doc never matches
+        # (raw email vs '<EMAIL>' marker)
+        cmp_docs = docs
+        if args.redact_pii:
+            from schema_inference_spark.functions.pii import redact_expr
+
+            cmp_docs = docs.withColumn(text_col, redact_expr(F.col(text_col)))
 
         def build_cross_batch():
             exact = (
-                cross_batch_exact_dups(docs, prior_sigs, id_col, text_col)
+                cross_batch_exact_dups(cmp_docs, prior_sigs, id_col, text_col)
                 .join(
                     prior_sigs.select("content_hash", F.col(id_col).alias("id_prior")),
                     "content_hash",
@@ -201,13 +211,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             cands = cross_batch_candidates(
-                dedup_signatures(docs, id_col, text_col, n_perm=args.n_perm),
+                dedup_signatures(cmp_docs, id_col, text_col, n_perm=args.n_perm),
                 prior_sigs, id_col,
                 n_perm=args.n_perm, band_size=args.band_size,
             )
             near = (
                 cross_batch_verified_pairs(
-                    docs, prior_corpus, cands, id_col, text_col,
+                    cmp_docs, prior_corpus, cands, id_col, text_col,
                     threshold=args.threshold,
                 )
                 # an exact dup also band-collides and verifies at 1.0 —

@@ -205,3 +205,47 @@ def test_curate_job_against_prior_corpus(spark):
             "--input", f"{d}/in_b", "--output", f"{d}/b2", "--against", f"{d}/a",
             "--n-perm", "8",
         ]) == 3
+
+
+def test_curate_job_against_redacted_prior(spark):
+    """--against must compare like-for-like under --redact-pii: the prior
+    signatures are built on the SHIPPED (redacted) corpus text, so a new
+    batch carrying the same PII-bearing doc (raw) must still be caught as
+    an exact cross-batch dup — hashing the new batch's raw text would
+    compare 'u@example.com' against '<EMAIL>' and silently miss it."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        base_expr = (
+            "concat_ws(' ', transform(sequence(0, 24), "
+            "j -> substr(md5(concat(cast(id AS string), '-', cast(j AS string))), 1, 8)))"
+        )
+        # doc 3 carries an email in BOTH batches (identical raw text)
+        expr = (
+            f"CASE WHEN id = 3 THEN concat({base_expr}, ' mail bob@example.com') "
+            f"ELSE {base_expr} END AS text"
+        )
+        batch_a = spark.range(50).selectExpr("id AS doc_id", expr)
+        batch_a.write.mode("overwrite").parquet(f"{d}/in_a")
+        assert main([
+            "--input", f"{d}/in_a", "--output", f"{d}/a", "--redact-pii",
+        ]) == 0
+
+        # batch B: doc 1003 has the SAME raw text as A's doc 3 (PII and
+        # all); the rest are fresh
+        a3 = batch_a.where("doc_id = 3").collect()[0]["text"]
+        fresh_expr = expr.replace("cast(id AS string)", "cast(id + 7000 AS string)")
+        fresh = spark.range(1100, 1150).selectExpr("id AS doc_id", f"{fresh_expr}")
+        planted = spark.createDataFrame([(1003, a3)], "doc_id long, text string")
+        fresh.unionByName(planted).write.mode("overwrite").parquet(f"{d}/in_b")
+        assert main([
+            "--input", f"{d}/in_b", "--output", f"{d}/b", "--against", f"{d}/a",
+            "--redact-pii",
+        ]) == 0
+        cross = {
+            (r["id_new"], r["id_prior"], r["kind"])
+            for r in spark.read.parquet(f"{d}/b/cross_batch").collect()
+        }
+        assert (1003, 3, "exact") in cross
+        kept = {r["doc_id"] for r in spark.read.parquet(f"{d}/b/corpus").collect()}
+        assert 1003 not in kept
