@@ -126,7 +126,9 @@ def assert_no_cached_plans(spark) -> None:
         )
 
 
-BEST_OF = int(os.environ.get("BENCH_BEST_OF", "3"))
+# clamped: 0/negative would leave every best at inf and NaN the steady-state
+# rate, breaking the one-JSON-line contract the self-certifying bench makes
+BEST_OF = max(1, int(os.environ.get("BENCH_BEST_OF", "3")))
 
 
 def main() -> None:

@@ -27,11 +27,13 @@ Outputs under --output (each stage is a parquet table + _SUCCESS marker):
 
 Cross-snapshot incremental dedup (r5, VERDICT r4 #1): production crawls
 are rolling, so --against <prior output> first drops new docs that
-duplicate the ALREADY-CURATED corpus — exact via content-hash semi-join
-against the prior signatures/ table, near via band-bucket join of the new
-batch's MinHash signatures against it (prior TEXT is read only for
-candidate members during Jaccard verification). The prior run's recorded
-n_perm/band_size must match (band buckets are scheme-dependent). This is
+duplicate the ALREADY-CURATED corpus — exact via content-hash join
+against the prior signatures/ table (each hash match text-verified so a
+60-bit collision cannot falsely drop a unique doc), near via band-bucket
+join of the new batch's MinHash signatures against it (prior TEXT is read
+only for hash-matched / candidate members). The prior run's recorded
+n_perm/band_size/redact_pii must match (band buckets are scheme-dependent
+and prior signatures hash the shipped, post-redaction text). This is
 the reference's persisted-derived-state pattern — re-analysis resumes
 from persisted output, not the raw scan (SeqScanAsJson.java:66-77).
 
@@ -69,6 +71,12 @@ import time
 
 def _done(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+# every stage this job can emit, in pipeline order — a fresh (non-resume)
+# run clears these completion markers before recording its params so a
+# crash mid-run cannot leave an older run's stages looking resumable
+_STAGES = ("cross_batch", "pairs", "components", "corpus", "signatures", "packed")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -113,6 +121,44 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
 
+    # --against validation runs BEFORE anything is written to --output (a
+    # refused invocation must leave no params.json behind) and before the
+    # Spark session (it is pure file inspection)
+    if args.against:
+        prior_sigs_path = os.path.join(args.against, "signatures")
+        prior_corpus_path = os.path.join(args.against, "corpus")
+        if not (_done(prior_sigs_path) and _done(prior_corpus_path)):
+            print(
+                f"curate: --against {args.against} lacks signatures/ or corpus/ "
+                "(it must be a completed output of this job)"
+            )
+            return 3
+        prior_params_path = os.path.join(args.against, "params.json")
+        if not os.path.exists(prior_params_path):
+            print(
+                f"curate: --against {args.against} has no params.json, so the "
+                "prior signature scheme (n_perm/band_size/redact_pii) cannot be "
+                "verified — a band_size mismatch makes the band-bucket join "
+                "silently empty. Refusing; restore the prior run's params.json."
+            )
+            return 3
+        pp = json.load(open(prior_params_path, encoding="utf-8"))
+        scheme_diff = {
+            k: {"prior": pp.get(k), "current": getattr(args, k)}
+            for k in ("n_perm", "band_size", "redact_pii")
+            if pp.get(k) != getattr(args, k)
+        }
+        if scheme_diff:
+            print(
+                "curate: --against signature scheme mismatch: "
+                f"{json.dumps(scheme_diff)} — band buckets are n_perm/band_size-"
+                "dependent (a mismatch makes the join silently empty) and the "
+                "prior signatures were built on the SHIPPED text, so a "
+                "redact_pii mismatch compares raw PII against redaction markers "
+                "and silently misses cross-batch dups"
+            )
+            return 3
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -141,6 +187,17 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     os.makedirs(out, exist_ok=True)
+    if not args.resume:
+        # a fresh run recomputes every stage, so clear stale completion
+        # markers BEFORE recording this invocation's params: otherwise a
+        # fresh run with changed flags that crashes mid-way leaves an older
+        # run's stage tables marked done under a params.json that now
+        # matches, and a later --resume reuses them (the exact stale-stage
+        # hazard the ADVICE r4 guard refuses)
+        for name in _STAGES:
+            marker = os.path.join(out, name, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
     with open(params_path, "w", encoding="utf-8") as f:
         json.dump(params, f, indent=2)
 
@@ -166,25 +223,6 @@ def main(argv: list[str] | None = None) -> int:
     # curated corpus never enter the within-batch pipeline
     docs_in, n_cross_dropped = docs, 0
     if args.against:
-        prior_sigs_path = os.path.join(args.against, "signatures")
-        prior_corpus_path = os.path.join(args.against, "corpus")
-        if not (_done(prior_sigs_path) and _done(prior_corpus_path)):
-            print(
-                f"curate: --against {args.against} lacks signatures/ or corpus/ "
-                "(it must be a completed output of this job)"
-            )
-            return 3
-        prior_params_path = os.path.join(args.against, "params.json")
-        if os.path.exists(prior_params_path):
-            pp = json.load(open(prior_params_path, encoding="utf-8"))
-            if (pp.get("n_perm"), pp.get("band_size")) != (args.n_perm, args.band_size):
-                print(
-                    "curate: --against signature scheme mismatch: prior recorded "
-                    f"n_perm={pp.get('n_perm')}/band_size={pp.get('band_size')}, this "
-                    f"invocation uses {args.n_perm}/{args.band_size} — band buckets "
-                    "are scheme-dependent, so the join would be silently empty"
-                )
-                return 3
         prior_sigs = spark.read.parquet(prior_sigs_path)
         prior_corpus = spark.read.parquet(prior_corpus_path)
         # compare like-for-like: the prior signatures were built on the
@@ -199,16 +237,15 @@ def main(argv: list[str] | None = None) -> int:
             cmp_docs = docs.withColumn(text_col, redact_expr(F.col(text_col)))
 
         def build_cross_batch():
-            exact = (
-                cross_batch_exact_dups(cmp_docs, prior_sigs, id_col, text_col)
-                .join(
-                    prior_sigs.select("content_hash", F.col(id_col).alias("id_prior")),
-                    "content_hash",
-                )
-                .select(
-                    "id_new", "id_prior",
-                    F.lit(1.0).alias("jaccard"), F.lit("exact").alias("kind"),
-                )
+            # prior_docs verifies each 60-bit hash match by comparing the
+            # actual texts (collision-candidates only), so a hash collision
+            # at 10^12-doc scale cannot falsely drop a unique doc; it also
+            # recovers id_prior in the same join
+            exact = cross_batch_exact_dups(
+                cmp_docs, prior_sigs, id_col, text_col, prior_docs=prior_corpus
+            ).select(
+                "id_new", "id_prior",
+                F.lit(1.0).alias("jaccard"), F.lit("exact").alias("kind"),
             )
             cands = cross_batch_candidates(
                 dedup_signatures(cmp_docs, id_col, text_col, n_perm=args.n_perm),

@@ -503,17 +503,44 @@ def dedup_signatures(
 def cross_batch_exact_dups(
     new_docs: DataFrame, prior_sigs: DataFrame,
     id_col: str = "doc_id", text_col: str = "text",
+    prior_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """(id_new, content_hash): new-batch docs whose exact content already
-    exists in the prior corpus. One semi-join of md5 content hashes against
-    the signature table — the prior corpus' text is never read."""
+    """(id_new, id_prior, content_hash): new-batch docs whose exact content
+    already exists in the prior corpus — ONE inner join of md5-derived
+    60-bit content hashes against the signature table (which also recovers
+    id_prior, so callers need no second signature-table join).
+
+    The hash keeps 60 of md5's 128 bits, so at the 10^12-doc design point a
+    unique new doc collides with SOME prior hash with p ~ n_prior/2^60 —
+    ~10^5 false drops per 10^11-doc batch if hash equality alone deletes
+    data. Pass prior_docs (the prior corpus table) to verify each hash
+    match by comparing the actual texts; only the already-matched ids are
+    joined back to either text column, so at scale the verification frame
+    is collisions + true dups, never the corpus. Without prior_docs the
+    prior text is never read and results are hash-exact only (fine for
+    analytics; not for an irreversible drop path)."""
     hashed = new_docs.select(
         F.col(id_col).alias("id_new"),
         md5_long_expr(F.col(text_col)).alias("content_hash"),
     )
-    return hashed.join(
-        prior_sigs.select("content_hash").distinct(), "content_hash", "left_semi"
-    ).select("id_new", "content_hash")
+    matched = hashed.join(
+        prior_sigs.select("content_hash", F.col(id_col).alias("id_prior")),
+        "content_hash",
+    )
+    if prior_docs is None:
+        return matched.select("id_new", "id_prior", "content_hash")
+    new_texts = new_docs.select(
+        F.col(id_col).alias("id_new"), F.col(text_col).alias("_text_new")
+    )
+    prior_texts = prior_docs.select(
+        F.col(id_col).alias("id_prior"), F.col(text_col).alias("_text_prior")
+    )
+    return (
+        matched.join(new_texts, "id_new")
+        .join(prior_texts, "id_prior")
+        .where(F.col("_text_new") == F.col("_text_prior"))
+        .select("id_new", "id_prior", "content_hash")
+    )
 
 
 def cross_batch_candidates(

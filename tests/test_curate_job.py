@@ -119,6 +119,42 @@ def test_curate_job_end_to_end_and_resume(spark):
         assert rc == 0
 
 
+def test_curate_job_fresh_run_clears_stale_stage_markers(spark):
+    """A fresh (non-resume) run records its params BEFORE recomputing
+    stages, so if it crashes mid-way the previous run's stage tables must
+    not be left looking resumable under the new params.json — the job
+    clears every stage _SUCCESS marker first. Scenario: run1 (--redact-pii)
+    completes; run2 (no redaction, new input missing the text column)
+    crashes in the pairs stage; a later --resume must NOT see run1's
+    redacted stages as done."""
+    import pytest
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = _corpus(spark, n=100)
+        docs.write.mode("overwrite").parquet(f"{d}/in")
+        assert main([
+            "--input", f"{d}/in", "--output", f"{d}/out", "--redact-pii",
+        ]) == 0
+        markers = [
+            f"{d}/out/{s}/_SUCCESS"
+            for s in ("pairs", "components", "corpus", "signatures", "packed")
+        ]
+        assert all(os.path.exists(m) for m in markers)
+
+        # run2: changed flags (no --redact-pii), input whose text column is
+        # missing -> the pairs stage raises after params.json is rewritten
+        docs.withColumnRenamed("text", "body").write.mode("overwrite").parquet(
+            f"{d}/in_broken"
+        )
+        with pytest.raises(Exception):
+            main(["--input", f"{d}/in_broken", "--output", f"{d}/out"])
+        # params.json now records run2's flags, but no stale stage from run1
+        # is marked done — a --resume cannot silently reuse redacted tables
+        recorded = json.load(open(f"{d}/out/params.json"))
+        assert recorded["redact_pii"] is False
+        assert not any(os.path.exists(m) for m in markers)
+
+
 def test_curate_job_against_prior_corpus(spark):
     """Cross-snapshot incremental dedup through the production job (VERDICT
     r4 #1): batch B curated --against batch A's output must drop exactly
@@ -200,11 +236,29 @@ def test_curate_job_against_prior_corpus(spark):
             "--input", f"{d}/in_b", "--output", f"{d}/b", "--resume",
         ]) == 2
 
-        # signature-scheme mismatch refuses before any work
+        # signature-scheme mismatch refuses before any work — including
+        # before params.json is written (a refused run must leave nothing)
         assert main([
             "--input", f"{d}/in_b", "--output", f"{d}/b2", "--against", f"{d}/a",
             "--n-perm", "8",
         ]) == 3
+        assert not os.path.exists(f"{d}/b2/params.json")
+
+        # redact_pii is part of the signature scheme: the prior signatures
+        # hash the SHIPPED text, so a mismatch would compare raw PII against
+        # redaction markers and silently miss cross-batch dups
+        assert main([
+            "--input", f"{d}/in_b", "--output", f"{d}/b3", "--against", f"{d}/a",
+            "--redact-pii",
+        ]) == 3
+
+        # a prior dir whose params.json was lost cannot be scheme-verified:
+        # refuse rather than risk a silently-empty band-bucket join
+        os.rename(f"{d}/a/params.json", f"{d}/a/params.json.bak")
+        assert main([
+            "--input", f"{d}/in_b", "--output", f"{d}/b4", "--against", f"{d}/a",
+        ]) == 3
+        os.rename(f"{d}/a/params.json.bak", f"{d}/a/params.json")
 
 
 def test_curate_job_against_redacted_prior(spark):

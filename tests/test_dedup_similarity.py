@@ -564,6 +564,59 @@ def test_cross_batch_incremental_dedup(spark):
     assert all(n != "b_pair1" and n != "b_pair2" for n, _ in verified)
 
 
+def test_cross_batch_exact_dups_verifies_hash_collisions(spark):
+    """The exact cross-batch path keeps 60 of md5's 128 bits, so at 10^12
+    docs hash equality alone would falsely drop ~n_prior/2^60 unique docs
+    per new doc. With prior_docs passed, every hash match is text-verified
+    (on the tiny matched frame only): a forged collision — same
+    content_hash, different text — must NOT be reported."""
+    from schema_inference_spark.operators.dedup import (
+        cross_batch_exact_dups,
+        dedup_signatures,
+    )
+
+    prior = spark.createDataFrame(
+        [("p1", "the quick brown fox jumps")], "doc_id string, text string"
+    )
+    new = spark.createDataFrame(
+        [("n_dup", "the quick brown fox jumps"), ("n_fresh", "totally different words")],
+        "doc_id string, text string",
+    )
+    prior_sigs = dedup_signatures(prior, n_perm=4)
+    # forge a collision: a second prior signature row whose content_hash
+    # equals n_fresh's but whose corpus text differs
+    from pyspark.sql import functions as F
+
+    fresh_hash = (
+        dedup_signatures(new.where("doc_id = 'n_fresh'"), n_perm=4)
+        .select("content_hash").collect()[0][0]
+    )
+    forged = prior_sigs.limit(1).select(
+        F.lit("p_collide").alias("doc_id"),
+        F.lit(fresh_hash).alias("content_hash"),
+        *[F.col(f"mh{i}") for i in range(4)],
+    )
+    sigs = prior_sigs.unionByName(forged)
+    prior_docs = prior.unionByName(
+        spark.createDataFrame(
+            [("p_collide", "not the fresh doc at all")], "doc_id string, text string"
+        )
+    )
+
+    # hash-only mode reports the forged collision (documented analytic mode)
+    unverified = {
+        (r["id_new"], r["id_prior"])
+        for r in cross_batch_exact_dups(new, sigs).collect()
+    }
+    assert unverified == {("n_dup", "p1"), ("n_fresh", "p_collide")}
+    # verified mode (the curate_job drop path) rejects it
+    verified = {
+        (r["id_new"], r["id_prior"])
+        for r in cross_batch_exact_dups(new, sigs, prior_docs=prior_docs).collect()
+    }
+    assert verified == {("n_dup", "p1")}
+
+
 def test_cross_batch_verify_safe_with_overlapping_id_spaces(spark):
     """The cross-batch verifier builds shingles PER SIDE: an id reused
     across batches with different text must score the TEXTS, not a mixed
