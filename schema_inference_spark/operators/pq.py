@@ -1,0 +1,341 @@
+"""Product quantization (PQ) inside IVF partitions — the 10^12-vector
+memory rung of the ANN ladder (SCALE.md "ANN memory at 10^9-10^12").
+
+Until r5 this was a documented swap point; it is now a real kernel:
+
+* ``pq_train_codebooks`` — per-IVF-partition codebooks (m subspaces x
+  ncodes centroids each), trained DISTRIBUTEDLY with one
+  ``groupBy(centroid_id).applyInPandas`` pass. Training is a pure
+  function of each partition's data (deterministic hash-ordered sample,
+  rows sorted before any float fold), so codebooks are bit-identical
+  under any physical layout — the r4 packing lesson applied from the
+  start.
+* ``pq_encode`` — one Arrow projection mapping each vector to m uint8
+  codes packed as an m-byte ``binary`` column (16x smaller than the raw
+  64 x float32 at the reference shape). No shuffle: rows already carry
+  ``centroid_id`` from IVF assignment.
+* ``build_pq_index`` / ``query_pq_index`` — the build-once/query-many
+  lifecycle. A query reads ONLY the probed partitions' (vec_id, codes)
+  columns (partition pruning + column pruning), scores codes with an ADC
+  lookup table (m adds per row instead of a d-mul dot), over-retrieves
+  ``over_retrieve * k`` candidates, then re-ranks JUST those rows
+  exactly on the raw column — the raw vectors are read only for
+  candidates, so the bulk scan touches ~16x less data while recall@k
+  returns to the exact-probe level.
+
+Cosine-ADC convention: vectors are unit-normalized BEFORE encoding, so
+``dot(q_unit, reconstruction(x)) ~= cosine(q, x)`` and the lookup table
+is just per-subspace dot products against the query. Zero vectors encode
+as themselves (all-zero subvectors pick code 0 deterministically).
+
+Scale notes (the 100 TB story): codebooks are tiny by construction
+(k_ivf x m x ncodes x (d/m) floats — ~0.5 MB at k=8, m=16, ncodes=256,
+d=64) and ship in UDF closures like the IVF centroid matrix; training
+reads a bounded per-partition sample; encoding and scoring are
+single-pass Arrow projections; the only driver-side collect in the query
+path is the bounded over_retrieve*k candidate id list (same bound class
+as every top-k in this repo). Reference provenance: the reference engine
+has no ANN surface — this extends the curation family the brief asks
+for; the persisted-index lifecycle mirrors build_ivf_index
+(operators/similarity.py), whose layout the reference's persisted-output
+re-analysis seeded (SeqScanAsJson.java:66-77).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from schema_inference_spark.operators.similarity import (
+    _stack_rows,
+    cosine_topk,
+    ivf_assignments,
+    kmeans_train,
+)
+
+CODEBOOK_SCHEMA = (
+    "centroid_id int, subspace int, code int, codeword array<float>"
+)
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-normalize to unit L2; all-zero rows stay zero (cosine undefined,
+    and a zero subvector must still encode deterministically)."""
+    norms = np.sqrt((m.astype(np.float64) ** 2).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    return (m / norms[:, None]).astype(np.float32)
+
+
+def _kmeans_1sub(pts: np.ndarray, ncodes: int, max_iter: int) -> np.ndarray:
+    """Deterministic Lloyd's over one subspace's sample points.
+
+    ``pts`` arrives in a caller-fixed order (hash-ordered sample), so
+    init (first ncodes DISTINCT points) and every mean fold are pure
+    functions of the partition's data — no RNG, no layout dependence.
+    Returns an (ncodes, sub_d) float32 codebook; when the sample has
+    fewer distinct points than ncodes the tail codewords repeat the last
+    distinct point (they simply never win an argmin).
+    """
+    pts64 = pts.astype(np.float64)
+    _, first_idx = np.unique(pts64, axis=0, return_index=True)
+    distinct = pts64[np.sort(first_idx)]
+    if len(distinct) >= ncodes:
+        cb = distinct[:ncodes].copy()
+    else:
+        pad = np.repeat(distinct[-1:], ncodes - len(distinct), axis=0)
+        cb = np.concatenate([distinct, pad], axis=0)
+    for _ in range(max_iter):
+        # squared-L2 argmin; ties -> lowest code id (np.argmin first-max)
+        d2 = ((pts64[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        new_cb = cb.copy()
+        for c in np.unique(assign):
+            new_cb[c] = pts64[assign == c].mean(axis=0)
+        if np.array_equal(new_cb, cb):
+            break
+        cb = new_cb
+    return cb.astype(np.float32)
+
+
+def pq_train_codebooks(
+    assigned: DataFrame,
+    m: int = 16,
+    ncodes: int = 256,
+    train_sample: int = 100_000,
+    max_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train per-IVF-partition PQ codebooks in one grouped Arrow pass.
+
+    Output rows: (centroid_id, subspace, code, codeword). Each group
+    samples up to ``train_sample`` rows by md5(id) order (reproducible
+    across runs and partitionings), unit-normalizes, splits the d dims
+    into ``m`` contiguous subspaces of d/m dims, and runs deterministic
+    Lloyd's per subspace. d % m must be 0 (checked at encode/query too).
+    """
+
+    def _train(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        cid = int(pdf["centroid_id"].iloc[0])
+        keys = pdf[id_col].map(
+            lambda x: hashlib.md5(str(x).encode()).hexdigest()
+        )
+        order = np.lexsort((pdf[id_col].values, keys.values))
+        take = order[:train_sample]
+        mat = _unit_rows(_stack_rows(pdf[vec_col].values[take]))
+        d = mat.shape[1]
+        if d % m != 0:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        sub_d = d // m
+        out = []
+        for j in range(m):
+            cb = _kmeans_1sub(mat[:, j * sub_d : (j + 1) * sub_d], ncodes, max_iter)
+            for c in range(ncodes):
+                out.append((cid, j, c, cb[c].tolist()))
+        return pd.DataFrame(
+            out, columns=["centroid_id", "subspace", "code", "codeword"]
+        )
+
+    return (
+        assigned.select("centroid_id", id_col, vec_col)
+        .groupBy("centroid_id")
+        .applyInPandas(_train, CODEBOOK_SCHEMA)
+    )
+
+
+def _codebooks_to_dict(rows) -> dict[int, np.ndarray]:
+    """Driver-side reshape of the (bounded, tiny) codebook table into
+    {centroid_id: (m, ncodes, sub_d) float32}."""
+    by_cid: dict[int, dict[tuple[int, int], list[float]]] = {}
+    for r in rows:
+        by_cid.setdefault(r["centroid_id"], {})[(r["subspace"], r["code"])] = list(
+            r["codeword"]
+        )
+    out: dict[int, np.ndarray] = {}
+    for cid, entries in by_cid.items():
+        m = 1 + max(j for j, _ in entries)
+        ncodes = 1 + max(c for _, c in entries)
+        sub_d = len(next(iter(entries.values())))
+        arr = np.zeros((m, ncodes, sub_d), dtype=np.float32)
+        for (j, c), vec in entries.items():
+            arr[j, c] = vec
+        out[cid] = arr
+    return out
+
+
+def pq_encode(
+    assigned: DataFrame,
+    codebooks: dict[int, np.ndarray],
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode each (already IVF-assigned) vector to m uint8 codes packed
+    as an m-byte binary — one Arrow projection, no shuffle. Codes pick
+    the squared-L2-nearest codeword per subspace (ties -> lowest code)."""
+
+    @pandas_udf("binary")
+    def _enc(cid_s: pd.Series, vec_s: pd.Series) -> pd.Series:
+        if len(vec_s) == 0:
+            return pd.Series([], dtype=object)
+        mat = _unit_rows(_stack_rows(vec_s.values))
+        codes_by_cid: dict[int, np.ndarray] = {}
+        for cid in pd.unique(cid_s):
+            idx = (cid_s == cid).values
+            cb = codebooks[int(cid)]  # (m, ncodes, sub_d)
+            m, _, sub_d = cb.shape
+            sub = mat[idx].reshape(idx.sum(), m, sub_d)
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+            dots = np.einsum("rms,mcs->rmc", sub.astype(np.float64),
+                             cb.astype(np.float64))
+            cn2 = (cb.astype(np.float64) ** 2).sum(axis=2)  # (m, ncodes)
+            codes_by_cid[int(cid)] = np.argmin(
+                cn2[None, :, :] - 2.0 * dots, axis=2
+            ).astype(np.uint8)
+        rows = np.empty((len(vec_s),), dtype=object)
+        for cid, codes in codes_by_cid.items():
+            idx = np.nonzero((cid_s == cid).values)[0]
+            for i, row in zip(idx, codes):
+                rows[i] = row.tobytes()
+        return pd.Series(rows)
+
+    return assigned.withColumn(out_col, _enc(F.col("centroid_id"), F.col(vec_col)))
+
+
+def build_pq_index(
+    df: DataFrame,
+    path: str,
+    k: int = 8,
+    m: int = 16,
+    ncodes: int = 256,
+    max_iter: int = 10,
+    pq_max_iter: int = 8,
+    train_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """IVF-PQ build: train coarse centroids (kmeans_train), assign, train
+    per-partition codebooks, encode, and persist three tables —
+    vectors/ (vec_id, raw vector, m-byte codes; partitioned by
+    centroid_id: the codes are the bulk-scan lane, the raw column the
+    re-rank lane in the SAME files so column pruning splits them),
+    centroids/, codebooks/."""
+    from schema_inference_spark.sources.iceberg import write_table
+
+    spark = df.sparkSession
+    centroids = kmeans_train(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assignments(df, centroids, id_col, vec_col)
+    cb_df = pq_train_codebooks(
+        assigned, m=m, ncodes=ncodes, train_sample=train_sample,
+        max_iter=pq_max_iter, id_col=id_col, vec_col=vec_col,
+    )
+    write_table(cb_df, f"{path}/codebooks", mode="overwrite")
+    codebooks = _codebooks_to_dict(spark.read.parquet(f"{path}/codebooks").collect())
+    encoded = pq_encode(assigned, codebooks, vec_col=vec_col)
+    write_table(
+        encoded.select(id_col, vec_col, "centroid_id", "codes"),
+        f"{path}/vectors", mode="overwrite", partition_by=("centroid_id",),
+    )
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids],
+        "centroid_id int, centroid array<double>",
+    )
+    write_table(cents_df, f"{path}/centroids", mode="overwrite")
+    return centroids
+
+
+def adc_scores(
+    codes_df: DataFrame,
+    luts: dict[int, np.ndarray],
+    out_col: str = "adc_score",
+) -> DataFrame:
+    """Asymmetric-distance scores: per row, sum m lookup-table entries
+    (float64 accumulate) — the 16-add replacement for the 64-mul dot."""
+
+    @pandas_udf("double")
+    def _score(cid_s: pd.Series, codes_s: pd.Series) -> pd.Series:
+        n = len(codes_s)
+        if n == 0:
+            return pd.Series([], dtype=float)
+        out = np.empty(n, dtype=np.float64)
+        for cid in pd.unique(cid_s):
+            idx = np.nonzero((cid_s == cid).values)[0]
+            lut = luts[int(cid)]  # (m, ncodes) float64
+            m = lut.shape[0]
+            codes = np.frombuffer(
+                b"".join(codes_s.values[i] for i in idx), dtype=np.uint8
+            ).reshape(len(idx), m)
+            out[idx] = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        return pd.Series(out)
+
+    return codes_df.withColumn(out_col, _score(F.col("centroid_id"), F.col("codes")))
+
+
+def query_pq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    over_retrieve: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ probe: (1) pick n_probe centroids driver-side; (2) scan ONLY
+    those partitions' (vec_id, codes) columns and ADC-score them; (3) keep
+    the top over_retrieve*k candidate ids (bounded collect); (4) exact
+    re-rank just those rows on the raw column. Ties in the candidate cut
+    break by vec_id so the candidate SET is deterministic."""
+    import math
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = math.sqrt(float((q * q).sum()))
+    q_unit = q / qn if qn else q
+
+    cents = [
+        (r["centroid_id"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / nb if nb else 0.0
+
+    probe_ids = [
+        cid for cid, _ in sorted(cents, key=lambda c: -cos(q_unit, c[1]))[:n_probe]
+    ]
+
+    codebooks = _codebooks_to_dict(
+        spark.read.parquet(f"{path}/codebooks")
+        .where(F.col("centroid_id").isin(probe_ids))
+        .collect()
+    )
+    luts: dict[int, np.ndarray] = {}
+    for cid, cb in codebooks.items():
+        m, _, sub_d = cb.shape
+        luts[cid] = np.einsum(
+            "ms,mcs->mc", q_unit.reshape(m, sub_d), cb.astype(np.float64)
+        )
+
+    vectors = spark.read.parquet(f"{path}/vectors")
+    scored = adc_scores(
+        vectors.where(F.col("centroid_id").isin(probe_ids)).select(
+            id_col, "centroid_id", "codes"
+        ),
+        luts,
+    )
+    cand_rows = (
+        scored.orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(over_retrieve * k)
+        .select(id_col)
+        .collect()
+    )
+    cand_ids = [r[id_col] for r in cand_rows]
+    rerank = vectors.where(
+        F.col("centroid_id").isin(probe_ids) & F.col(id_col).isin(cand_ids)
+    )
+    return cosine_topk(rerank, query_vec, k, id_col, vec_col)
