@@ -1,7 +1,10 @@
-"""Product quantization (PQ) inside IVF partitions — the 10^12-vector
-memory rung of the ANN ladder (SCALE.md "ANN memory at 10^9-10^12").
+"""Quantized-vector kernels inside IVF partitions — ALL THREE rungs of
+the ANN memory ladder (SCALE.md "ANN memory at 10^9-10^12"): float16
+(2x) and int8 scalar quantization (4x) via ``sq_*``/``build_sq_index``/
+``query_sq_index``, and product quantization (16x) via the ``pq_*``
+family below.
 
-Until r5 this was a documented swap point; it is now a real kernel:
+Until r5 these were documented swap points; they are now real kernels:
 
 * ``pq_train_codebooks`` — per-IVF-partition codebooks (m subspaces x
   ncodes centroids each), trained DISTRIBUTEDLY with one
@@ -245,6 +248,217 @@ def build_pq_index(
     )
     write_table(cents_df, f"{path}/centroids", mode="overwrite")
     return centroids
+
+
+def sq_train_scales(
+    assigned: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8 scalar-quantization scales: per-IVF-partition, per-dimension
+    max(|min|, |max|) — one posexplode + partial-aggregated min/max pass
+    (k*d result rows; min/max are order-insensitive, so scales are exact
+    and layout-proof by construction)."""
+    return (
+        assigned.select(
+            "centroid_id", F.posexplode(vec_col).alias("dim", "val")
+        )
+        .groupBy("centroid_id", "dim")
+        .agg(
+            F.greatest(
+                F.abs(F.min(F.col("val").cast("double"))),
+                F.abs(F.max(F.col("val").cast("double"))),
+            ).alias("scale")
+        )
+    )
+
+
+def _scales_to_dict(rows) -> dict[int, np.ndarray]:
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cid.setdefault(r["centroid_id"], {})[r["dim"]] = r["scale"]
+    return {
+        cid: np.asarray([dims[i] for i in sorted(dims)], dtype=np.float64)
+        for cid, dims in by_cid.items()
+    }
+
+
+def sq_encode(
+    assigned: DataFrame,
+    dtype: str = "float16",
+    scales: dict[int, np.ndarray] | None = None,
+    vec_col: str = "embedding",
+    out_col: str = "qcodes",
+) -> DataFrame:
+    """Scalar quantization — rungs 1-2 of the SCALE.md memory ladder.
+
+    ``float16`` (2x): straight downcast packed as d*2 bytes; max
+    representable error ~2^-11 relative, effectively recall-free for
+    cosine. ``int8`` (4x): symmetric per-partition per-dimension scale
+    (``sq_train_scales``) — code = clip(round(x/scale*127)); zero scale
+    (constant-zero dim) encodes 0. One Arrow projection either way."""
+    if dtype not in ("float16", "int8"):
+        raise ValueError(f"unsupported sq dtype {dtype!r}")
+    if dtype == "int8" and scales is None:
+        raise ValueError("int8 quantization requires trained scales")
+
+    @pandas_udf("binary")
+    def _enc(cid_s: pd.Series, vec_s: pd.Series) -> pd.Series:
+        n = len(vec_s)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        mat = _stack_rows(vec_s.values).astype(np.float64)
+        rows = np.empty((n,), dtype=object)
+        if dtype == "float16":
+            half = mat.astype(np.float16)
+            for i in range(n):
+                rows[i] = half[i].tobytes()
+            return pd.Series(rows)
+        for cid in pd.unique(cid_s):
+            idx = np.nonzero((cid_s == cid).values)[0]
+            sc = scales[int(cid)].copy()
+            sc[sc == 0.0] = 1.0
+            q = np.clip(np.rint(mat[idx] / sc[None, :] * 127.0), -127, 127).astype(
+                np.int8
+            )
+            for j, i in enumerate(idx):
+                rows[i] = q[j].tobytes()
+        return pd.Series(rows)
+
+    return assigned.withColumn(out_col, _enc(F.col("centroid_id"), F.col(vec_col)))
+
+
+def sq_cosine_scores(
+    codes_df: DataFrame,
+    query_vec: list[float],
+    dtype: str,
+    scales: dict[int, np.ndarray] | None = None,
+    out_col: str = "sq_score",
+) -> DataFrame:
+    """Cosine of the query against DEQUANTIZED codes — the bulk-scan lane
+    for scalar quantization (the dequantize + dot runs in one Arrow
+    kernel; float64 accumulate via the GEMM is fine here because the lane
+    is approximate by construction and re-ranked exactly)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum())
+    q_unit = q / qn if qn else q
+
+    @pandas_udf("double")
+    def _score(cid_s: pd.Series, codes_s: pd.Series) -> pd.Series:
+        n = len(codes_s)
+        if n == 0:
+            return pd.Series([], dtype=float)
+        out = np.empty(n, dtype=np.float64)
+        if dtype == "float16":
+            mat = np.frombuffer(b"".join(codes_s.values), dtype=np.float16).reshape(
+                n, -1
+            ).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms[norms == 0.0] = 1.0
+            out[:] = (mat @ q_unit) / norms
+        else:
+            for cid in pd.unique(cid_s):
+                idx = np.nonzero((cid_s == cid).values)[0]
+                sc = scales[int(cid)] / 127.0
+                mat = np.frombuffer(
+                    b"".join(codes_s.values[i] for i in idx), dtype=np.int8
+                ).reshape(len(idx), -1).astype(np.float64) * sc[None, :]
+                norms = np.sqrt((mat * mat).sum(axis=1))
+                norms[norms == 0.0] = 1.0
+                out[idx] = (mat @ q_unit) / norms
+        return pd.Series(out)
+
+    return codes_df.withColumn(out_col, _score(F.col("centroid_id"), F.col("codes")))
+
+
+def build_sq_index(
+    df: DataFrame,
+    path: str,
+    dtype: str = "float16",
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Scalar-quantized IVF index: same three-table layout as the PQ index
+    (vectors/ partitioned by centroid_id carrying raw + qcodes, centroids/,
+    and for int8 a scales/ table)."""
+    from schema_inference_spark.sources.iceberg import write_table
+
+    spark = df.sparkSession
+    centroids = kmeans_train(df, k=k, max_iter=max_iter, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assignments(df, centroids, id_col, vec_col)
+    scales = None
+    if dtype == "int8":
+        scales_df = sq_train_scales(assigned, vec_col)
+        write_table(scales_df, f"{path}/scales", mode="overwrite")
+        scales = _scales_to_dict(spark.read.parquet(f"{path}/scales").collect())
+    encoded = sq_encode(assigned, dtype=dtype, scales=scales, vec_col=vec_col)
+    write_table(
+        encoded.select(id_col, vec_col, "centroid_id", F.col("qcodes").alias("codes")),
+        f"{path}/vectors", mode="overwrite", partition_by=("centroid_id",),
+    )
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids],
+        "centroid_id int, centroid array<double>",
+    )
+    write_table(cents_df, f"{path}/centroids", mode="overwrite")
+    return centroids
+
+
+def query_sq_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    dtype: str = "float16",
+    k: int = 10,
+    n_probe: int = 2,
+    over_retrieve: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized probe: prune to n_probe partitions, score the
+    dequantized codes column, over-retrieve, exact re-rank on raw — the
+    same two-lane shape as query_pq_index with a cheaper bulk lane."""
+    import math
+
+    cents = [
+        (r["centroid_id"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / nb if nb else 0.0
+
+    probe_ids = [
+        cid for cid, _ in sorted(cents, key=lambda c: -cos(query_vec, c[1]))[:n_probe]
+    ]
+    scales = None
+    if dtype == "int8":
+        scales = _scales_to_dict(
+            spark.read.parquet(f"{path}/scales")
+            .where(F.col("centroid_id").isin(probe_ids))
+            .collect()
+        )
+    vectors = spark.read.parquet(f"{path}/vectors")
+    scored = sq_cosine_scores(
+        vectors.where(F.col("centroid_id").isin(probe_ids)).select(
+            id_col, "centroid_id", "codes"
+        ),
+        query_vec, dtype, scales,
+    )
+    cand_ids = [
+        r[id_col]
+        for r in scored.orderBy(F.col("sq_score").desc(), F.col(id_col))
+        .limit(over_retrieve * k)
+        .select(id_col)
+        .collect()
+    ]
+    rerank = vectors.where(
+        F.col("centroid_id").isin(probe_ids) & F.col(id_col).isin(cand_ids)
+    )
+    return cosine_topk(rerank, query_vec, k, id_col, vec_col)
 
 
 def adc_scores(
