@@ -23,7 +23,11 @@ partition pruning on both keys), exact brute-force within. Assignment
 ties break to the lowest fine_id (np.argmax first-max), mirroring
 ivf_assignments' rule.
 
-Reference provenance: the reference engine has no ANN surface; the
+Public provenance: hierarchical (two-level) coarse quantization is the
+standard answer to nlist >> one k-means job — cf. the residual/2-level
+coarse quantizers in the IVF literature (Jegou et al. TPAMI 2011 §V;
+FAISS's IVF-on-IVF composite indexes). Reference provenance: the
+reference engine has no ANN surface; the
 persisted build-once/query-many lifecycle extends build_ivf_index
 (operators/similarity.py), seeded by the reference's persisted-output
 re-analysis pattern (SeqScanAsJson.java:66-77).

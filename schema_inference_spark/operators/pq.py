@@ -26,6 +26,13 @@ Until r5 these were documented swap points; they are now real kernels:
   candidates, so the bulk scan touches ~16x less data while recall@k
   returns to the exact-probe level.
 
+Public provenance: product quantization with asymmetric distance
+computation follows Jegou, Douze & Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) — the IVFADC layout (coarse
+quantizer + per-cell PQ codes + over-retrieve/re-rank) is the standard
+FAISS-style design; scalar int8 quantization with symmetric per-dim
+scales is the common ANN-serving variant of the same idea.
+
 Cosine-ADC convention: vectors are unit-normalized BEFORE encoding, so
 ``dot(q_unit, reconstruction(x)) ~= cosine(q, x)`` and the lookup table
 is just per-subspace dot products against the query. Zero vectors encode
