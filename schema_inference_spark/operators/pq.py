@@ -272,6 +272,154 @@ def build_pq_index(
     return centroids
 
 
+def query_pq_index_batch(
+    spark,
+    path: str,
+    query_vecs: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    over_retrieve: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-many serving path: answer a BATCH of queries in one Spark
+    job — per-query ``query_pq_index`` calls serialize on driver
+    scheduling (two jobs per query: candidate cut + re-rank), which the
+    PQ scaling bench showed dominates small probes. Shape: one codes
+    scan filtered to the union of all probed partitions, fanned out per
+    probing query by a broadcast join against the tiny (qid,
+    centroid_id) probe map, ADC-scored with per-(qid, cid) lookup
+    tables, candidate-cut and re-ranked with two windows partitioned by
+    qid. Returns (qid, vec_id, cosine_sim) — per qid, EXACTLY the rows
+    ``query_pq_index(query_vecs[qid], ...)`` returns (same kernels, same
+    tie rules; asserted bit-for-bit in tests).
+
+    Scale shape: the scan is still partition-pruned to the union of
+    probes; the broadcast side is n_queries x n_probe rows; both windows
+    shuffle on qid (bounded by over_retrieve*k rows per query after the
+    cut); the exact re-rank reads the raw column only for candidate
+    rows. For thousands of concurrent queries this is the right plan —
+    one scan amortized across the batch.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from schema_inference_spark.operators.similarity import (
+        _fold_many,
+        _fold_rows,
+        _to_matrix_t,
+    )
+
+    if not query_vecs:
+        return spark.createDataFrame(
+            [], f"qid int, {id_col} bigint, cosine_sim double"
+        )
+
+    cents = [
+        (r["centroid_id"], list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+
+    def cos(q_unit, b):
+        dot = sum(x * y for x, y in zip(q_unit, b))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / nb if nb else 0.0
+
+    q_units: list[np.ndarray] = []
+    probe_pairs: list[tuple[int, int]] = []
+    probe_ids_all: set[int] = set()
+    for qid, qv in enumerate(query_vecs):
+        q = np.asarray(qv, dtype=np.float64)
+        qn = math.sqrt(float((q * q).sum()))
+        qu = q / qn if qn else q
+        q_units.append(qu)
+        for cid, _ in sorted(cents, key=lambda c: -cos(qu, c[1]))[:n_probe]:
+            probe_pairs.append((qid, cid))
+            probe_ids_all.add(cid)
+
+    codebooks = _codebooks_to_dict(
+        spark.read.parquet(f"{path}/codebooks")
+        .where(F.col("centroid_id").isin(sorted(probe_ids_all)))
+        .collect()
+    )
+    luts: dict[tuple[int, int], np.ndarray] = {}
+    for qid, cid in probe_pairs:
+        cb = codebooks[cid]
+        m, _, sub_d = cb.shape
+        luts[(qid, cid)] = np.einsum(
+            "ms,mcs->mc", q_units[qid].reshape(m, sub_d), cb.astype(np.float64)
+        )
+
+    @pandas_udf("double")
+    def _adc(qid_s: pd.Series, cid_s: pd.Series, codes_s: pd.Series) -> pd.Series:
+        n = len(codes_s)
+        if n == 0:
+            return pd.Series([], dtype=float)
+        out = np.empty(n, dtype=np.float64)
+        key = pd.DataFrame({"q": qid_s.values, "c": cid_s.values})
+        for (qid, cid), grp in key.groupby(["q", "c"], sort=False):
+            idx = grp.index.to_numpy()
+            lut = luts[(int(qid), int(cid))]
+            m = lut.shape[0]
+            codes = np.frombuffer(
+                b"".join(codes_s.values[i] for i in idx), dtype=np.uint8
+            ).reshape(len(idx), m)
+            out[idx] = lut[np.arange(m)[None, :], codes].sum(axis=1)
+        return pd.Series(out)
+
+    # the exact re-rank kernel: same sequential fold as cosine_topk /
+    # cosine_to_query_udf, applied per qid sub-batch (folds are row-local,
+    # so batching cannot change any value)
+    q_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in query_vecs])
+    q_norms = np.sqrt(_fold_rows(q_mat.T.copy(), q_mat.T.copy()))
+
+    @pandas_udf("double")
+    def _exact(qid_s: pd.Series, vec_s: pd.Series) -> pd.Series:
+        n = len(vec_s)
+        if n == 0:
+            return pd.Series([], dtype=float)
+        out = np.empty(n, dtype=np.float64)
+        for qid in pd.unique(qid_s):
+            idx = np.nonzero((qid_s == qid).values)[0]
+            mt = _to_matrix_t(vec_s.iloc[idx])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out[idx] = _fold_many(mt, q_mat[int(qid)][None, :])[0] / (
+                    np.sqrt(_fold_rows(mt, mt)) * q_norms[int(qid)]
+                )
+        return pd.Series(out)
+
+    probe_df = F.broadcast(
+        spark.createDataFrame(probe_pairs, "qid int, centroid_id int")
+    )
+    vectors = spark.read.parquet(f"{path}/vectors").where(
+        F.col("centroid_id").isin(sorted(probe_ids_all))
+    )
+    fanned = vectors.join(probe_df, "centroid_id")
+    scored = fanned.withColumn(
+        "adc_score", _adc(F.col("qid"), F.col("centroid_id"), F.col("codes"))
+    )
+    cand_w = Window.partitionBy("qid").orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    )
+    cands = (
+        scored.withColumn("rn", F.row_number().over(cand_w))
+        .where(F.col("rn") <= over_retrieve * k)
+        .drop("rn")
+    )
+    exact = cands.withColumn(
+        "cosine_sim", F.round(_exact(F.col("qid"), F.col(vec_col)), 6)
+    )
+    topk_w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(topk_w))
+        .where(F.col("rn") <= k)
+        .select("qid", id_col, "cosine_sim")
+    )
+
+
 def sq_train_scales(
     assigned: DataFrame,
     vec_col: str = "embedding",

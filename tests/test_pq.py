@@ -176,6 +176,31 @@ def test_pq_partition_pruning_on_codes_scan(spark, emb, pq_index):
     assert "centroid_id" in tail, plan
 
 
+def test_pq_batch_query_equals_per_query(spark, emb, pq_index):
+    """The query-many path (one scan + broadcast probe-map + windows)
+    must return, per qid, EXACTLY the rows of the per-query path — same
+    kernels, same tie rules, bit-for-bit cosines — at a setting where
+    probes differ per query."""
+    from schema_inference_spark.operators.pq import query_pq_index_batch
+
+    path, _ = pq_index
+    queries = [_query_vec(emb, v) for v in (0, 7, 123)]
+    batch = query_pq_index_batch(
+        spark, path, queries, k=10, n_probe=2, over_retrieve=4
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["cosine_sim"]))
+    for qid, q in enumerate(queries):
+        single = [
+            (r["vec_id"], r["cosine_sim"])
+            for r in query_pq_index(
+                spark, path, q, k=10, n_probe=2, over_retrieve=4
+            ).collect()
+        ]
+        assert got[qid] == single, f"qid {qid} diverged"
+
+
 def test_sq_float16_full_probe_equals_brute(spark, emb, tmp_path):
     """Rung 1 (float16, 2x): full-probe over-retrieve + exact re-rank
     reproduces the brute-force top-10 exactly; codes are d*2 bytes."""
